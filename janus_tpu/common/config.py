@@ -1,0 +1,283 @@
+"""Typed configuration tree.
+
+The reference scatters tunables across modules as bare constants and ad-hoc
+environment reads (reference: backend/services/engine.py:439-441,
+link_simulator.py:19, vad.py:11, prosody.py:67-99, audio_io.py:28-31,
+docs/SETUP.md:93-107). Here everything lives in one frozen dataclass tree
+with env-var and dotted-path overrides, so a whole deployment is a single
+value that can be logged, hashed, and passed through jitted code as static
+configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields, is_dataclass, replace
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = [
+    "AudioConfig",
+    "SegmenterConfig",
+    "VADConfig",
+    "ProsodyConfig",
+    "LinkConfig",
+    "ASRConfig",
+    "TTSConfig",
+    "VocoderConfig",
+    "MeshConfig",
+    "RuntimeConfig",
+    "ServerConfig",
+    "JanusConfig",
+]
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Capture/playback format (reference: backend/services/audio_io.py:28-31)."""
+
+    sample_rate: int = 48_000
+    chunk_samples: int = 1536           # 32 ms at 48 kHz
+    channels: int = 1
+    model_sample_rate: int = 16_000     # rate the ASR frontend consumes
+
+    @property
+    def chunk_seconds(self) -> float:
+        return self.chunk_samples / self.sample_rate
+
+
+@dataclass(frozen=True)
+class SegmenterConfig:
+    """Phrase segmentation state machine
+    (reference: backend/services/engine.py:439-504)."""
+
+    pre_roll_chunks: int = 10           # deque of chunks kept before speech onset
+    silence_threshold_chunks: int = 15  # ~500 ms of silence ends a phrase
+    min_phrase_samples: int = 1536 * 6  # buffers shorter than this are dropped
+
+
+@dataclass(frozen=True)
+class VADConfig:
+    """Speech gate (reference: backend/services/vad.py:11-77)."""
+
+    threshold: float = 0.5
+    frame_samples: int = 512            # model frame at 16 kHz
+    backend: str = "model"              # "model" (conv-GRU) or "energy"
+    energy_gate_rms: float = 0.015      # floor used by the energy backend
+
+
+@dataclass(frozen=True)
+class ProsodyConfig:
+    """YIN pitch + RMS energy extraction and categorical thresholds
+    (reference: backend/services/prosody.py:32-99)."""
+
+    yin_window: int = 4096
+    hop: int = 512
+    yin_tolerance: float = 0.8
+    fmin_hz: float = 40.0
+    fmax_hz: float = 1000.0
+    energy_quiet: float = 0.05          # rms <  -> 'Quiet'
+    energy_loud: float = 0.15           # rms >= -> 'Loud'
+    pitch_deep_hz: float = 120.0        # mean f0 <  -> 'Deep'
+    pitch_high_hz: float = 200.0        # mean f0 >= -> 'High'
+
+
+@dataclass(frozen=True)
+class LinkConfig:
+    """Constrained-link transport
+    (reference: backend/services/link_simulator.py:19-20, engine.py:156-162)."""
+
+    baud_rate: int = 300
+    target_ip: str = "127.0.0.1"
+    target_port: int = 5005
+    receiver_port: int = 5005
+    use_tcp: bool = False
+    progress_ticks: int = 20
+
+    @property
+    def bytes_per_second(self) -> float:
+        return self.baud_rate / 8.0
+
+
+@dataclass(frozen=True)
+class ASRConfig:
+    """Whisper-class speech recognizer. Defaults are the 'tiny' geometry;
+    presets below give base/small/large-v3 sizes
+    (reference delegated this to faster-whisper `base.en`:
+    backend/services/transcriber.py:23-27)."""
+
+    n_mels: int = 80
+    n_fft: int = 400
+    hop_length: int = 160
+    max_source_positions: int = 1500    # 30 s of mel frames after conv stem
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    vocab_size: int = 51_864
+    max_target_positions: int = 448
+    max_decode_tokens: int = 64         # greedy decode budget for a phrase
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def tiny(cls) -> "ASRConfig":
+        return cls()
+
+    @classmethod
+    def base(cls) -> "ASRConfig":
+        return cls(d_model=512, encoder_layers=6, decoder_layers=6, num_heads=8)
+
+    @classmethod
+    def small(cls) -> "ASRConfig":
+        return cls(d_model=768, encoder_layers=12, decoder_layers=12, num_heads=12)
+
+    @classmethod
+    def large_v3(cls) -> "ASRConfig":
+        return cls(
+            n_mels=128,
+            d_model=1280,
+            encoder_layers=32,
+            decoder_layers=32,
+            num_heads=20,
+            vocab_size=51_866,
+        )
+
+
+@dataclass(frozen=True)
+class TTSConfig:
+    """LLM-conditioned acoustic transformer: autoregressive mel-frame decoder
+    prompted with text + emotion tag (replaces the reference's cloud TTS;
+    reference: backend/services/synthesizer.py:158-207)."""
+
+    d_model: int = 512
+    layers: int = 8
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    n_mels: int = 80
+    reduction: int = 2                  # mel frames emitted per decode step
+    max_text_tokens: int = 256
+    max_mel_frames: int = 1024
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    """iSTFT-head vocoder (Vocos-style): conv backbone predicts magnitude and
+    phase, waveform is reconstructed with an inverse STFT — no giant
+    transposed convs, very XLA-friendly."""
+
+    n_fft: int = 1024
+    hop_length: int = 256
+    d_model: int = 512
+    layers: int = 8
+    sample_rate: int = 24_000
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes. data = concurrent sessions (DP), model = TP over
+    heads/MLP, seq = sequence/context parallelism over mel frames."""
+
+    data: int = 1
+    model: int = 1
+    seq: int = 1
+    axis_names: Tuple[str, str, str] = ("data", "model", "seq")
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Host runtime: batched sessions + queue depths
+    (reference queue depths: backend/services/engine.py:428, 187)."""
+
+    max_sessions: int = 32
+    audio_queue_depth: int = 100
+    playback_queue_depth: int = 100
+    ducking_level: float = 0.25
+    executor_workers: int = 2
+
+
+@dataclass(frozen=True)
+class ServerConfig:
+    """Control-plane server (reference: backend/server.py, docs/API.md)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8000
+    ws_path: str = "/ws/janus"
+    verify_phrase: str = "The quick brown fox jumps over the lazy dog."
+    verify_threshold: float = 0.8
+    reference_audio_path: str = "reference_audio.wav"
+
+
+@dataclass(frozen=True)
+class JanusConfig:
+    """The whole deployment as one value."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    segmenter: SegmenterConfig = field(default_factory=SegmenterConfig)
+    vad: VADConfig = field(default_factory=VADConfig)
+    prosody: ProsodyConfig = field(default_factory=ProsodyConfig)
+    link: LinkConfig = field(default_factory=LinkConfig)
+    asr: ASRConfig = field(default_factory=ASRConfig)
+    tts: TTSConfig = field(default_factory=TTSConfig)
+    vocoder: VocoderConfig = field(default_factory=VocoderConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
+
+    # -- overrides ---------------------------------------------------------
+
+    def override(self, **dotted: Any) -> "JanusConfig":
+        """Return a copy with dotted-path overrides, e.g.
+        ``cfg.override(**{"link.baud_rate": 1200, "asr.d_model": 512})``."""
+        cfg = self
+        for path, value in dotted.items():
+            cfg = _set_path(cfg, path.split("."), value)
+        return cfg
+
+    @classmethod
+    def from_env(cls, env: Optional[Dict[str, str]] = None) -> "JanusConfig":
+        """Build a config honoring the reference's environment variables
+        (reference: backend/services/engine.py:415-417,
+        backend/scripts/receiver_main.py:102-110)."""
+        e = os.environ if env is None else env
+        cfg = cls()
+        target_ip = e.get("TARGET_IP", cfg.link.target_ip)
+        use_tcp = e.get("USE_TCP", "").lower() in ("1", "true", "yes") or (
+            "ngrok" in target_ip  # reference auto-enables TCP through ngrok
+        )
+        return cfg.override(**{
+            "link.target_ip": target_ip,
+            "link.target_port": int(e.get("TARGET_PORT", cfg.link.target_port)),
+            "link.receiver_port": int(e.get("RECEIVER_PORT", cfg.link.receiver_port)),
+            "link.use_tcp": use_tcp,
+            "server.reference_audio_path": e.get(
+                "REFERENCE_AUDIO_PATH", cfg.server.reference_audio_path
+            ),
+        })
+
+    def to_flat_dict(self) -> Dict[str, Any]:
+        """Flatten to dotted keys — for logging/hashing a deployment."""
+        out: Dict[str, Any] = {}
+
+        def rec(prefix: str, obj: Any) -> None:
+            for f in fields(obj):
+                v = getattr(obj, f.name)
+                key = f"{prefix}{f.name}"
+                if is_dataclass(v):
+                    rec(key + ".", v)
+                else:
+                    out[key] = v
+
+        rec("", self)
+        return out
+
+
+def _set_path(obj: Any, path: list, value: Any) -> Any:
+    if len(path) == 1:
+        if not any(f.name == path[0] for f in fields(obj)):
+            raise KeyError(f"unknown config field: {path[0]}")
+        return replace(obj, **{path[0]: value})
+    child = getattr(obj, path[0])
+    return replace(obj, **{path[0]: _set_path(child, path[1:], value)})
