@@ -1,0 +1,168 @@
+"""YIN fundamental-frequency tracking (de Cheveigné & Kawahara 2002).
+
+A faithful, fully-batched re-implementation of the YIN variant the
+reference reaches through aubio (reference: backend/services/prosody.py:32-34
+— ``aubio.pitch('yin', 4096, 512, sr)``, tolerance 0.8, Hz output):
+
+- per call, the analyzed window is the last ``buf`` samples ending at the
+  hop boundary (aubio's slide-block buffering), zero-padded at stream start;
+- the difference function d(τ) over τ ∈ [0, buf/2) is cumulative-mean
+  normalized (CMNDF);
+- the period is the FIRST τ where CMNDF dips below tolerance at a local
+  minimum (aubio scans τ>4 testing τ-3), else the global minimum;
+- quadratic interpolation refines the period; unvoiced frames report 0 Hz.
+
+Instead of aubio's O(W²) C loop per hop, d(τ) is computed for every hop at
+once with an rFFT-based autocorrelation — the whole utterance becomes a
+single batched FFT + elementwise pipeline that XLA fuses, and hops live on
+the sublane axis so the VPU is fully occupied.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "yin_frame",
+    "yin_track",
+    "mean_voiced_pitch",
+    "classify_pitch",
+    "PITCH_TAGS",
+    "pitch_tag",
+]
+
+PITCH_TAGS = ("Deep", "Normal", "High")
+
+
+def _difference_function(x: jax.Array, n_lags: int) -> jax.Array:
+    """d(τ) = Σ_{j<N} (x[j] - x[j+τ])², τ ∈ [0, n_lags), for x of length 2·n_lags.
+
+    Uses d(τ) = Σ x[j]² + Σ x[j+τ]² − 2·Σ x[j]x[j+τ]; the cross term is an
+    FFT correlation, the sliding energy a cumulative sum.
+    """
+    buf = x.shape[-1]
+    a = x[..., :n_lags]
+
+    sq = x * x
+    csum = jnp.cumsum(sq, axis=-1)
+    # energy[tau] = sum_{j=tau}^{tau+n_lags-1} x[j]^2
+    zero = jnp.zeros_like(csum[..., :1])
+    csum0 = jnp.concatenate([zero, csum], axis=-1)
+    tau = np.arange(n_lags)
+    energy = csum0[..., tau + n_lags] - csum0[..., tau]
+    e0 = energy[..., :1]
+
+    fft_len = 2 * buf
+    fa = jnp.fft.rfft(a, n=fft_len, axis=-1)
+    fx = jnp.fft.rfft(x, n=fft_len, axis=-1)
+    cross = jnp.fft.irfft(jnp.conj(fa) * fx, n=fft_len, axis=-1)[..., :n_lags]
+
+    d = e0 + energy - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+def _cmndf(d: jax.Array) -> jax.Array:
+    """Cumulative-mean-normalized difference: y[0]=1,
+    y[τ] = d[τ]·τ / Σ_{k=1..τ} d[k] (1 where the running sum is 0)."""
+    tau = jnp.arange(d.shape[-1], dtype=d.dtype)
+    running = jnp.cumsum(d, axis=-1) - d[..., :1]  # excludes τ=0
+    y = jnp.where(running > 0.0, d * tau / jnp.maximum(running, 1e-30), 1.0)
+    return y.at[..., 0].set(1.0)
+
+
+def _quadratic_interp(y: jax.Array, pos: jax.Array) -> jax.Array:
+    """aubio's fvec_quadratic_peak_pos: parabola through (pos-1, pos, pos+1);
+    returns pos unchanged at the array edges."""
+    n = y.shape[-1]
+    p = jnp.clip(pos, 1, n - 2)
+    s0 = jnp.take_along_axis(y, (p - 1)[..., None], axis=-1)[..., 0]
+    s1 = jnp.take_along_axis(y, p[..., None], axis=-1)[..., 0]
+    s2 = jnp.take_along_axis(y, (p + 1)[..., None], axis=-1)[..., 0]
+    denom = s0 - 2.0 * s1 + s2
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (s0 - s2) / denom, 0.0)
+    interp = p.astype(y.dtype) + delta
+    at_edge = (pos <= 0) | (pos >= n - 1)
+    return jnp.where(at_edge, pos.astype(y.dtype), interp)
+
+
+def yin_frame(
+    window: jax.Array, sample_rate: int, tolerance: float = 0.8
+) -> jax.Array:
+    """F0 in Hz for window(s) ``[..., buf]``; 0.0 where unvoiced."""
+    buf = window.shape[-1]
+    n_lags = buf // 2
+    d = _difference_function(window.astype(jnp.float32), n_lags)
+    y = _cmndf(d)
+
+    # First local minimum below tolerance, aubio-style: scanning τ>4 and
+    # testing period p=τ-3 → candidate p ∈ [2, n_lags-4] with y[p] < y[p+1].
+    p_idx = jnp.arange(n_lags)
+    cand = (
+        (p_idx >= 2)
+        & (p_idx <= n_lags - 4)
+        & (y < tolerance)
+        & (y < jnp.roll(y, -1, axis=-1))
+    )
+    has_cand = jnp.any(cand, axis=-1)
+    first = jnp.argmax(cand, axis=-1)
+    fallback = jnp.argmin(y, axis=-1)
+    pos = jnp.where(has_cand, first, fallback)
+
+    period = _quadratic_interp(y, pos)
+    pitch = jnp.where(period > 0.0, sample_rate / jnp.maximum(period, 1e-6), 0.0)
+    return pitch
+
+
+def _hop_windows(audio: jax.Array, buf: int, hop: int) -> jax.Array:
+    """Reproduce aubio's streaming slide-block windows for a whole signal:
+    window k is the ``buf`` samples ending at hop boundary (k+1)·hop, with
+    zeros before stream start."""
+    t = audio.shape[-1]
+    n_hops = -(-t // hop)  # ceil — the reference zero-pads the last chunk
+    total = buf - hop + n_hops * hop
+    padded = jnp.zeros(audio.shape[:-1] + (total,), dtype=audio.dtype)
+    padded = padded.at[..., buf - hop : buf - hop + t].set(audio)
+    idx = hop * np.arange(n_hops)[:, None] + np.arange(buf)[None, :]
+    return padded[..., idx]
+
+
+def yin_track(
+    audio: jax.Array,
+    sample_rate: int,
+    buf: int = 4096,
+    hop: int = 512,
+    tolerance: float = 0.8,
+) -> jax.Array:
+    """Per-hop F0 track ``[..., n_hops]`` in Hz (0 = unvoiced) for ``[..., T]``
+    audio, matching the reference's streaming loop
+    (reference: backend/services/prosody.py:76-88)."""
+    windows = _hop_windows(audio.astype(jnp.float32), buf, hop)
+    return yin_frame(windows, sample_rate, tolerance)
+
+
+def mean_voiced_pitch(track: jax.Array, n_valid: jax.Array | None = None) -> jax.Array:
+    """Mean of strictly-positive F0 values; 0.0 when fully unvoiced
+    (reference: backend/services/prosody.py:89-99 filters zeros before
+    averaging). ``n_valid`` masks padded hops in a batch."""
+    voiced = track > 0.0
+    if n_valid is not None:
+        idx = jnp.arange(track.shape[-1])
+        voiced = voiced & (idx < n_valid[..., None])
+    count = jnp.sum(voiced, axis=-1)
+    total = jnp.sum(jnp.where(voiced, track, 0.0), axis=-1)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def classify_pitch(
+    mean_f0: jax.Array, deep: float = 120.0, high: float = 200.0
+) -> jax.Array:
+    """0=Deep (<deep), 1=Normal, 2=High (>=high); unvoiced (0 Hz) → Normal
+    (reference: backend/services/prosody.py:91-99)."""
+    code = jnp.where(mean_f0 < deep, 0, jnp.where(mean_f0 < high, 1, 2))
+    return jnp.where(mean_f0 <= 0.0, 1, code).astype(jnp.int32)
+
+
+def pitch_tag(code: int) -> str:
+    return PITCH_TAGS[int(code)]

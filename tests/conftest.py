@@ -8,12 +8,21 @@ backend + loopback sockets; reference: backend/tests/conftest.py:15-154).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Hard-override: the ambient environment points JAX at the real TPU tunnel
+# (JAX_PLATFORMS=axon, re-asserted through jax.config by the site's PJRT
+# bootstrap at interpreter start) — correctness tests always run on the
+# virtual CPU mesh, so both the env var and the config knob must be forced.
+if os.environ.get("JANUS_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,117 @@
+"""YIN pitch tracker: accuracy on synthetic tones, aubio-streaming-window
+semantics, categorical thresholds (reference: backend/services/prosody.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from janus_tpu.ops.yin import (
+    PITCH_TAGS,
+    classify_pitch,
+    mean_voiced_pitch,
+    yin_frame,
+    yin_track,
+)
+
+
+def tone(freq, sr=48000, seconds=0.5, amp=0.6):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def naive_yin_reference(window, sr, tol=0.8):
+    """Literal O(W^2) transcription of the YIN algorithm (difference fn,
+    CMNDF, first-local-min-below-tolerance, parabolic interp)."""
+    w = window.astype(np.float64)
+    n = len(w) // 2
+    d = np.zeros(n)
+    for tau in range(1, n):
+        diff = w[:n] - w[tau : tau + n]
+        d[tau] = np.dot(diff, diff)
+    y = np.ones(n)
+    run = 0.0
+    for tau in range(1, n):
+        run += d[tau]
+        y[tau] = d[tau] * tau / run if run > 0 else 1.0
+    pos = None
+    for tau in range(5, n):
+        p = tau - 3
+        if y[p] < tol and y[p] < y[p + 1]:
+            pos = p
+            break
+    if pos is None:
+        pos = int(np.argmin(y))
+    if 0 < pos < n - 1:
+        s0, s1, s2 = y[pos - 1], y[pos], y[pos + 1]
+        denom = s0 - 2 * s1 + s2
+        period = pos + (0.5 * (s0 - s2) / denom if abs(denom) > 1e-12 else 0.0)
+    else:
+        period = float(pos)
+    return sr / period if period > 0 else 0.0
+
+
+@pytest.mark.parametrize("freq", [110.0, 220.0, 440.0])
+def test_yin_frame_matches_naive_reference(freq):
+    sr = 48000
+    w = tone(freq, sr, seconds=4096 / sr)[:4096]
+    ours = float(yin_frame(jnp.asarray(w), sr))
+    ref = naive_yin_reference(w, sr)
+    assert abs(ours - ref) < 0.5, (ours, ref)
+    assert abs(ours - freq) / freq < 0.01
+
+
+def test_yin_frame_silence_is_unvoiced():
+    w = jnp.zeros(4096)
+    assert float(yin_frame(w, 48000)) == 0.0
+
+
+def test_yin_frame_noise_is_unvoiced_or_untrusted():
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    ours = float(yin_frame(w, 48000, tolerance=0.1))
+    ref = naive_yin_reference(np.asarray(w), 48000, tol=0.1)
+    assert abs(ours - ref) < 1.0
+
+
+def test_yin_track_streaming_windows():
+    # 440 Hz for 0.5 s: early hops see mostly zero-padding, later hops lock
+    # onto the tone; the voiced mean must land near 440.
+    sr = 48000
+    x = jnp.asarray(tone(440.0, sr, 0.5))
+    track = yin_track(x, sr)
+    assert track.shape == (-(-x.shape[0] // 512),)
+    mean = float(mean_voiced_pitch(track))
+    assert abs(mean - 440.0) / 440.0 < 0.05
+
+
+def test_yin_track_batched_jit():
+    sr = 48000
+    xb = jnp.stack([jnp.asarray(tone(110.0, sr, 0.25)), jnp.asarray(tone(330.0, sr, 0.25))])
+    f = jax.jit(lambda a: mean_voiced_pitch(yin_track(a, sr)))
+    m = np.asarray(f(xb))
+    assert abs(m[0] - 110) < 6
+    assert abs(m[1] - 330) < 10
+
+
+@pytest.mark.parametrize(
+    "f0,expected",
+    [(0.0, "Normal"), (80.0, "Deep"), (119.9, "Deep"), (120.0, "Normal"),
+     (199.9, "Normal"), (200.0, "High"), (440.0, "High")],
+)
+def test_classify_pitch_thresholds(f0, expected):
+    code = int(classify_pitch(jnp.asarray(f0)))
+    assert PITCH_TAGS[code] == expected
+
+
+def test_mean_voiced_pitch_filters_zeros():
+    track = jnp.asarray([0.0, 100.0, 0.0, 200.0])
+    assert float(mean_voiced_pitch(track)) == 150.0
+    assert float(mean_voiced_pitch(jnp.zeros(4))) == 0.0
+
+
+def test_mean_voiced_pitch_masks_padding():
+    track = jnp.asarray([100.0, 100.0, 900.0, 900.0])
+    m = float(mean_voiced_pitch(track, n_valid=jnp.asarray(2)))
+    assert m == 100.0
