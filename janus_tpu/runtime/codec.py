@@ -1,0 +1,178 @@
+"""The semantic encoder: phrase audio → JanusPacket.
+
+This is the fused encode path (BASELINE config 2): one jitted program per
+duration bucket runs anti-aliased decimation, the Whisper-class
+encoder+greedy decode, YIN pitch tracking and RMS energy — everything the
+reference spread across faster-whisper and aubio calls in a thread pool
+(reference: backend/services/engine.py:510-552). Prosody classification
+returns int codes inside jit; only the final string/packet assembly is
+host-side.
+
+Phrases are padded into a small set of static duration buckets so the
+whole deployment compiles a handful of programs once and never again.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.common.config import JanusConfig
+from janus_tpu.common.protocol import JanusMode, JanusPacket
+from janus_tpu.models import asr as asr_mod
+from janus_tpu.models.tokenizer import ByteTokenizer
+from janus_tpu.ops.energy import ENERGY_TAGS, classify_energy, rms_energy
+from janus_tpu.ops.resample import decimate_48k_to_16k
+from janus_tpu.ops.yin import PITCH_TAGS, classify_pitch, mean_voiced_pitch, yin_track
+
+__all__ = ["SemanticEncoder", "duration_bucket"]
+
+# Phrase duration buckets in 48 kHz samples (1.25 s ... 30 s). Chosen so
+# bucket[i+1] = 2*bucket[i]: at most 2x padding waste, ~5 compiled programs.
+DEFAULT_BUCKETS = tuple(48_000 * s for s in (2, 4, 8, 15, 30))
+
+
+def duration_bucket(n_samples: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n_samples <= b:
+            return b
+    return buckets[-1]
+
+
+class SemanticEncoder:
+    """Batched phrase → (text, prosody) encoder with a host-side packet
+    assembler. One instance owns the ASR params and the compiled programs."""
+
+    def __init__(
+        self,
+        cfg: Optional[JanusConfig] = None,
+        asr_params=None,
+        tokenizer=None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ) -> None:
+        self.cfg = cfg or JanusConfig()
+        self.tokenizer = tokenizer or ByteTokenizer()
+        if asr_params is None:
+            asr_params = asr_mod.init_asr(0, self.cfg.asr)
+        self.params = asr_params
+        self.buckets = tuple(buckets)
+        self._encode_jit = jax.jit(
+            self._encode_impl, static_argnames=("n_16k_frames",)
+        )
+
+    # -- device path -------------------------------------------------------
+
+    def _encode_impl(self, audio_48k: jax.Array, n_valid: jax.Array,
+                     n_16k_frames: int) -> Tuple[jax.Array, ...]:
+        """``audio_48k[B, T48]`` (zero-padded), ``n_valid[B]`` true lengths.
+
+        Returns (tokens[B, N], energy_code[B], pitch_code[B],
+        mean_f0[B], rms[B]).
+        """
+        acfg = self.cfg.asr
+        pcfg = self.cfg.prosody
+
+        # --- prosody on the capture-rate signal (like the reference) ---
+        t48 = audio_48k.shape[-1]
+        sample_mask = jnp.arange(t48)[None, :] < n_valid[:, None]
+        rms = rms_energy(audio_48k, sample_mask)
+        energy_code = classify_energy(rms, pcfg.energy_quiet, pcfg.energy_loud)
+
+        track = yin_track(
+            audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
+            pcfg.yin_tolerance,
+        )
+        n_hops = -(-n_valid // pcfg.hop)
+        f0 = mean_voiced_pitch(track, n_valid=n_hops)
+        pitch_code = classify_pitch(f0, pcfg.pitch_deep_hz, pcfg.pitch_high_hz)
+
+        # --- STT on anti-aliased 16 kHz ---
+        audio_16k = decimate_48k_to_16k(audio_48k)
+        mel = asr_mod.prepare_mel(audio_16k, acfg, pad_to_frames=n_16k_frames)
+        enc = asr_mod.encode_audio(self.params, acfg, mel)
+        prompt = jnp.broadcast_to(
+            jnp.asarray(self.tokenizer.sot_sequence(), dtype=jnp.int32),
+            (audio_48k.shape[0], len(self.tokenizer.sot_sequence())),
+        )
+        tokens = asr_mod.greedy_decode(
+            self.params, acfg, enc, prompt, self.tokenizer.eot,
+            max_new=acfg.max_decode_tokens,
+        )
+        return tokens, energy_code, pitch_code, f0, rms
+
+    # -- host path ---------------------------------------------------------
+
+    def encode_batch(self, phrases: Sequence[np.ndarray]) -> list:
+        """Encode a batch of 48 kHz float32 phrases (ragged lengths) into
+        per-phrase dicts: {text, prosody, f0, rms}."""
+        if not phrases:
+            return []
+        bucket = duration_bucket(max(len(p) for p in phrases), self.buckets)
+        batch = np.zeros((len(phrases), bucket), dtype=np.float32)
+        n_valid = np.zeros((len(phrases),), dtype=np.int32)
+        for i, p in enumerate(phrases):
+            p = np.asarray(p, dtype=np.float32)[:bucket]
+            batch[i, : len(p)] = p
+            n_valid[i] = len(p)
+
+        # 16 kHz mel frame budget for this bucket (even, capped at 30 s)
+        n16 = min(bucket // 3 // self.cfg.asr.hop_length,
+                  2 * self.cfg.asr.max_source_positions)
+        n16 = max(2, n16 - (n16 % 2))
+
+        tokens, e_code, p_code, f0, rms = self._encode_jit(
+            jnp.asarray(batch), jnp.asarray(n_valid), n_16k_frames=n16
+        )
+        tokens = np.asarray(tokens)
+        e_code = np.asarray(e_code)
+        p_code = np.asarray(p_code)
+        f0 = np.asarray(f0)
+        rms = np.asarray(rms)
+
+        out = []
+        for i in range(len(phrases)):
+            ids = tokens[i]
+            cut = np.where(ids == self.tokenizer.eot)[0]
+            if cut.size:
+                ids = ids[: cut[0]]
+            text = self.tokenizer.decode(ids).strip()
+            out.append({
+                "text": text,
+                "prosody": {
+                    "energy": ENERGY_TAGS[int(e_code[i])],
+                    "pitch": PITCH_TAGS[int(p_code[i])],
+                },
+                "f0": float(f0[i]),
+                "rms": float(rms[i]),
+            })
+        return out
+
+    def encode_packet(
+        self,
+        phrase: np.ndarray,
+        mode: JanusMode = JanusMode.SEMANTIC_VOICE,
+        override_emotion: str = "Auto",
+        timestamp: Optional[float] = None,
+    ) -> Optional[JanusPacket]:
+        """Full reference semantics: empty transcripts produce no packet
+        (reference: backend/services/engine.py:536-552)."""
+        res = self.encode_batch([phrase])[0]
+        if not res["text"].strip():
+            return None
+        return JanusPacket(
+            text=res["text"],
+            mode=mode,
+            prosody=res["prosody"],
+            override_emotion=override_emotion,
+            timestamp=timestamp if timestamp is not None else time.time(),
+        )
+
+    def warmup(self, bucket: Optional[int] = None) -> None:
+        """Pre-compile the program for one bucket (or the smallest)."""
+        b = bucket or self.buckets[0]
+        self.encode_batch([np.zeros(b, dtype=np.float32)])

@@ -1,0 +1,109 @@
+"""Fused encode path (BASELINE config 2): phrase audio -> JanusPacket with
+text + categorical prosody, all compute in one jitted program."""
+
+import numpy as np
+import pytest
+
+from janus_tpu.common.config import ASRConfig, JanusConfig
+from janus_tpu.common.protocol import JanusMode, JanusPacket
+from janus_tpu.runtime.codec import DEFAULT_BUCKETS, SemanticEncoder, duration_bucket
+from janus_tpu.runtime.emotion import (
+    api_emotion_to_protocol,
+    api_mode_to_protocol,
+    protocol_mode_to_api,
+    tts_emotion_tag,
+    ui_emotion_tag,
+)
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64,
+        "asr.encoder_layers": 1,
+        "asr.decoder_layers": 1,
+        "asr.num_heads": 4,
+        "asr.n_mels": 16,
+        "asr.vocab_size": 261,
+        "asr.max_source_positions": 512,
+        "asr.max_target_positions": 64,
+        "asr.max_decode_tokens": 6,
+    })
+    return SemanticEncoder(cfg, buckets=(48_000 * 2,))
+
+
+def voiced_phrase(f0=180.0, amp=0.08, seconds=1.2, sr=48000):
+    t = np.arange(int(sr * seconds)) / sr
+    return (
+        amp * np.sin(2 * np.pi * f0 * t) + amp / 2 * np.sin(2 * np.pi * 2 * f0 * t)
+    ).astype(np.float32)
+
+
+def test_duration_bucket():
+    assert duration_bucket(1) == DEFAULT_BUCKETS[0]
+    assert duration_bucket(48_000 * 2) == 48_000 * 2
+    assert duration_bucket(48_000 * 3) == 48_000 * 4
+    assert duration_bucket(10**9) == DEFAULT_BUCKETS[-1]
+
+
+def test_encode_batch_prosody(encoder):
+    quiet_deep = voiced_phrase(f0=100.0, amp=0.03)
+    loud_high = voiced_phrase(f0=300.0, amp=0.3)
+    out = encoder.encode_batch([quiet_deep, loud_high])
+    assert out[0]["prosody"] == {"energy": "Quiet", "pitch": "Deep"}
+    assert out[1]["prosody"] == {"energy": "Loud", "pitch": "High"}
+    assert abs(out[0]["f0"] - 100.0) < 6.0
+    assert abs(out[1]["f0"] - 300.0) < 15.0
+
+
+def test_encode_batch_ragged_lengths_consistent(encoder):
+    """A phrase's result must not depend on its neighbors in the batch."""
+    a = voiced_phrase(f0=150.0, amp=0.1, seconds=0.8)
+    b = voiced_phrase(f0=250.0, amp=0.2, seconds=1.5)
+    solo = encoder.encode_batch([a])[0]
+    joint = encoder.encode_batch([a, b])[0]
+    assert solo["prosody"] == joint["prosody"]
+    assert solo["text"] == joint["text"]
+    assert abs(solo["f0"] - joint["f0"]) < 1e-3
+
+
+def test_encode_packet_roundtrip(encoder):
+    phrase = voiced_phrase()
+    pkt = encoder.encode_packet(phrase, mode=JanusMode.SEMANTIC_VOICE)
+    if pkt is None:  # untrained model may emit empty text
+        pytest.skip("untrained ASR emitted empty transcript")
+    back = JanusPacket.deserialize(pkt.serialize())
+    assert back.prosody == pkt.prosody
+    assert back.mode == JanusMode.SEMANTIC_VOICE
+
+
+def test_mode_mappings():
+    assert api_mode_to_protocol("semantic") == JanusMode.SEMANTIC_VOICE
+    assert api_mode_to_protocol("text_only") == JanusMode.TEXT_ONLY
+    assert api_mode_to_protocol("morse") == JanusMode.MORSE_CODE
+    assert api_mode_to_protocol("bogus") == JanusMode.SEMANTIC_VOICE
+    for m in JanusMode:
+        assert api_mode_to_protocol(protocol_mode_to_api(m)) == m
+
+
+def test_emotion_mappings():
+    assert api_emotion_to_protocol("auto") == "Auto"
+    assert api_emotion_to_protocol("relaxed") == "relaxed"
+    # 'o' must be absent from the wire for auto
+    pkt = JanusPacket(text="x", override_emotion=api_emotion_to_protocol("auto"))
+    assert b"\xa1o" not in pkt.serialize()
+
+    # send-side table (reference: synthesizer.py:158-175)
+    assert tts_emotion_tag("High", "Loud") == "excited"
+    assert tts_emotion_tag("High", "Normal") == "joyful"
+    assert tts_emotion_tag("High", "Quiet") == "whispering"
+    assert tts_emotion_tag("Deep", "Loud") == "shouting"
+    assert tts_emotion_tag("Deep", "Quiet") == "whispering"
+    assert tts_emotion_tag("Normal", "Normal") == "relaxed"
+
+    # receive-side table (reference: engine.py:240-251)
+    assert ui_emotion_tag("High", "Loud") == "Excited"
+    assert ui_emotion_tag("High", "Normal") == "Joyful"
+    assert ui_emotion_tag("Low", "Loud") == "Panicked"
+    assert ui_emotion_tag("Low", "Quiet") == "Serious"
+    assert ui_emotion_tag("Deep", "Loud") == "Neutral"
