@@ -1,0 +1,266 @@
+"""LLM-conditioned TTS acoustic model.
+
+Replaces the reference's cloud TTS call (reference:
+backend/services/synthesizer.py:177-207 — Fish Audio prompted with
+``"(emotion) text"``) with an in-framework autoregressive transformer:
+
+    [SPK] [EMO] text-bytes [BOA] → mel frame groups … [stop]
+
+- One decoder-only transformer attends over the whole prompt+audio prefix
+  (causal); text enters via token embeddings, generated mel re-enters
+  through a prenet projection, so text and audio share every layer
+  ("LLM-conditioned" in the SemantiCodec/FishAudio sense).
+- Emotion is a reserved token id — the categorical prosody tags of the
+  wire packet select it, preserving the reference's two-table emotion
+  behavior end to end.
+- A learned speaker embedding slot [SPK] carries voice-cloning
+  conditioning from :mod:`janus_tpu.models.speaker`.
+- ``reduction`` mel frames are emitted per step (r=2 default), halving
+  decode steps; a stop head ends generation, and a fixed frame budget
+  keeps the sampling loop a single compiled ``lax.while_loop``.
+
+Generation is fully KV-cached: the prompt is prefilled in one pass, then
+each step appends exactly one position.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.common.config import TTSConfig
+from janus_tpu.models.params import KeyGen, normal_init
+from janus_tpu.ops.attention import KVCache, attend, merge_heads, split_heads
+from janus_tpu.ops.layers import embedding_lookup, gelu, layer_norm, linear
+
+__all__ = [
+    "EMOTIONS",
+    "emotion_id",
+    "init_tts",
+    "tts_forward",
+    "tts_generate",
+    "TTSState",
+]
+
+Params = Dict
+
+# Emotion vocabulary: union of the send-side TTS tags
+# (reference: backend/services/synthesizer.py:158-175), the API overrides
+# (reference: backend/api/types.py:18-21), and the receive-side UI tags.
+EMOTIONS = (
+    "neutral", "excited", "joyful", "whispering", "shouting", "sad",
+    "relaxed", "panicked", "serious", "calm", "angry", "auto",
+)
+
+
+def emotion_id(tag: str) -> int:
+    tag = tag.lower()
+    return EMOTIONS.index(tag) if tag in EMOTIONS else 0
+
+
+class _SpecialIds:
+    """Token-space layout: [0, text_vocab) bytes+text specials, then
+    emotions, then control tokens."""
+
+    def __init__(self, text_vocab: int):
+        self.emotion_base = text_vocab
+        self.boa = text_vocab + len(EMOTIONS)      # begin-of-audio
+        self.spk = text_vocab + len(EMOTIONS) + 1  # speaker slot
+        self.total = text_vocab + len(EMOTIONS) + 2
+
+
+def special_ids(text_vocab: int) -> _SpecialIds:
+    return _SpecialIds(text_vocab)
+
+
+def init_tts(key: jax.Array | int, cfg: TTSConfig, text_vocab: int = 261) -> Params:
+    kg = KeyGen(key)
+    d = cfg.d_model
+    ids = special_ids(text_vocab)
+    blocks = [
+        {
+            "attn_ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "attn": {
+                "q": {"w": normal_init(kg(), (d, d)), "b": jnp.zeros((d,))},
+                "k": {"w": normal_init(kg(), (d, d))},
+                "v": {"w": normal_init(kg(), (d, d)), "b": jnp.zeros((d,))},
+                "out": {"w": normal_init(kg(), (d, d)), "b": jnp.zeros((d,))},
+            },
+            "mlp_ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "mlp": {
+                "fc1": {"w": normal_init(kg(), (d, cfg.mlp_ratio * d)),
+                        "b": jnp.zeros((cfg.mlp_ratio * d,))},
+                "fc2": {"w": normal_init(kg(), (cfg.mlp_ratio * d, d)),
+                        "b": jnp.zeros((d,))},
+            },
+        }
+        for _ in range(cfg.layers)
+    ]
+    r_mels = cfg.reduction * cfg.n_mels
+    max_pos = cfg.max_text_tokens + cfg.max_mel_frames // cfg.reduction + 8
+    return {
+        "token_emb": normal_init(kg(), (ids.total, d)),
+        "pos_emb": normal_init(kg(), (max_pos, d)),
+        "prenet": {
+            "fc1": {"w": normal_init(kg(), (r_mels, d)), "b": jnp.zeros((d,))},
+            "fc2": {"w": normal_init(kg(), (d, d)), "b": jnp.zeros((d,))},
+        },
+        "spk_proj": {"w": normal_init(kg(), (d, d)), "b": jnp.zeros((d,))},
+        "blocks": blocks,
+        "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "mel_head": {"w": normal_init(kg(), (d, r_mels)), "b": jnp.zeros((r_mels,))},
+        "stop_head": {"w": normal_init(kg(), (d, 1)), "b": jnp.zeros((1,))},
+    }
+
+
+def _embed_mel(params: Params, mel_groups: jax.Array) -> jax.Array:
+    """``[..., S, r*n_mels] -> [..., S, d]`` prenet."""
+    h = gelu(linear(mel_groups, params["prenet"]["fc1"]["w"], params["prenet"]["fc1"]["b"]))
+    return linear(h, params["prenet"]["fc2"]["w"], params["prenet"]["fc2"]["b"])
+
+
+def _block(blk: Params, x: jax.Array, num_heads: int,
+           cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    h = layer_norm(x, **blk["attn_ln"])
+    p = blk["attn"]
+    q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), num_heads)
+    k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), num_heads)
+    v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), num_heads)
+    cache = cache.append(k, v)
+    mask = cache.valid_mask(x.shape[-2], causal=True)
+    x = x + linear(merge_heads(attend(q, cache.k, cache.v, mask)),
+                   p["out"]["w"], p["out"]["b"])
+    h = layer_norm(x, **blk["mlp_ln"])
+    h = linear(gelu(linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"])),
+               blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
+    return x + h, cache
+
+
+class TTSState(NamedTuple):
+    caches: Tuple[KVCache, ...]
+
+
+def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
+                      pos_offset: jax.Array, state: TTSState
+                      ) -> Tuple[jax.Array, jax.Array, TTSState]:
+    """Shared trunk over already-embedded inputs ``[..., S, d]``.
+    Returns (mel_out [..., S, r*n_mels], stop_logit [..., S], new_state)."""
+    t_new = x.shape[-2]
+    positions = pos_offset[..., None] + jnp.arange(t_new)
+    x = x + embedding_lookup(params["pos_emb"], positions)
+    caches = []
+    for blk, cache in zip(params["blocks"], state.caches):
+        x, cache = _block(blk, x, cfg.num_heads, cache)
+        caches.append(cache)
+    x = layer_norm(x, **params["ln"])
+    mel = linear(x, params["mel_head"]["w"], params["mel_head"]["b"])
+    stop = linear(x, params["stop_head"]["w"], params["stop_head"]["b"])[..., 0]
+    return mel, stop, TTSState(tuple(caches))
+
+
+def _prompt_embedding(params: Params, cfg: TTSConfig, text_ids: jax.Array,
+                      emotion: jax.Array, speaker: Optional[jax.Array],
+                      text_vocab: int) -> jax.Array:
+    """Build ``[B, P, d]`` prompt: [SPK] [EMO] text [BOA]."""
+    ids = special_ids(text_vocab)
+    b = text_ids.shape[0]
+    emo_tok = ids.emotion_base + emotion  # [B]
+    spk_tok = jnp.full((b,), ids.spk, dtype=jnp.int32)
+    boa_tok = jnp.full((b,), ids.boa, dtype=jnp.int32)
+    seq = jnp.concatenate(
+        [spk_tok[:, None], emo_tok[:, None], text_ids, boa_tok[:, None]], axis=1
+    )
+    x = embedding_lookup(params["token_emb"], seq)
+    if speaker is not None:
+        spk_emb = linear(speaker, params["spk_proj"]["w"], params["spk_proj"]["b"])
+        x = x.at[:, 0, :].add(spk_emb)
+    return x
+
+
+def tts_forward(params: Params, cfg: TTSConfig, text_ids: jax.Array,
+                emotion: jax.Array, mel_groups: jax.Array,
+                speaker: Optional[jax.Array] = None, text_vocab: int = 261
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced training pass.
+
+    ``text_ids[B, Lt]``, ``mel_groups[B, S, r*n_mels]`` (targets). Returns
+    (mel_pred[B, S, r*n_mels], stop_logits[B, S]): position i predicts
+    group i from prompt + groups < i.
+    """
+    prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
+    # shift mel right: inputs are groups [:-1], first audio input is BOA slot
+    mel_in = _embed_mel(params, mel_groups[:, :-1, :])
+    x = jnp.concatenate([prompt, mel_in], axis=1)
+
+    b = text_ids.shape[0]
+    total = x.shape[1]
+    d = cfg.d_model
+    head_dim = d // cfg.num_heads
+    state = TTSState(tuple(
+        KVCache.create((b,), cfg.num_heads, total, head_dim, dtype=jnp.float32)
+        for _ in range(cfg.layers)
+    ))
+    mel, stop, _ = _forward_embedded(
+        params, cfg, x, jnp.zeros((b,), jnp.int32), state
+    )
+    p = prompt.shape[1]
+    # outputs at positions [p-1, total): predictions for each mel group
+    return mel[:, p - 1 :, :], stop[:, p - 1 :]
+
+
+def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
+                 emotion: jax.Array, speaker: Optional[jax.Array] = None,
+                 max_groups: Optional[int] = None, text_vocab: int = 261,
+                 stop_threshold: float = 0.5
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """KV-cached autoregressive sampling.
+
+    Returns ``(mel[B, max_groups*r, n_mels], n_frames[B])`` — generated
+    frames and the per-sequence valid frame count (stop-head controlled).
+    """
+    if max_groups is None:
+        max_groups = cfg.max_mel_frames // cfg.reduction
+    b = text_ids.shape[0]
+    r_mels = cfg.reduction * cfg.n_mels
+    head_dim = cfg.d_model // cfg.num_heads
+    prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
+    cache_len = prompt.shape[1] + max_groups
+    state = TTSState(tuple(
+        KVCache.create((b,), cfg.num_heads, cache_len, head_dim, dtype=jnp.float32)
+        for _ in range(cfg.layers)
+    ))
+    mel0, stop0, state = _forward_embedded(
+        params, cfg, prompt, jnp.zeros((b,), jnp.int32), state
+    )
+    first = mel0[:, -1, :]  # prediction for group 0
+
+    out = jnp.zeros((b, max_groups, r_mels), dtype=jnp.float32)
+    out = out.at[:, 0, :].set(first)
+    done = jax.nn.sigmoid(stop0[:, -1]) > stop_threshold
+    n_groups = jnp.ones((b,), dtype=jnp.int32)
+
+    def cond(carry):
+        step, _, done, _, _ = carry
+        return (step < max_groups) & ~jnp.all(done)
+
+    def body(carry):
+        step, out, done, n_groups, state = carry
+        prev = jax.lax.dynamic_slice_in_dim(out, step - 1, 1, axis=1)  # [B,1,rm]
+        x = _embed_mel(params, prev)
+        pos = state.caches[0].length
+        mel, stop, state = _forward_embedded(params, cfg, x, pos, state)
+        nxt = mel[:, 0, :]
+        nxt = jnp.where(done[:, None], 0.0, nxt)
+        out = jax.lax.dynamic_update_slice_in_dim(out, nxt[:, None, :], step, axis=1)
+        n_groups = jnp.where(done, n_groups, step + 1)
+        done = done | (jax.nn.sigmoid(stop[:, 0]) > stop_threshold)
+        return step + 1, out, done, n_groups, state
+
+    _, out, _, n_groups, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), out, done, n_groups, state)
+    )
+    mel = out.reshape(b, max_groups * cfg.reduction, cfg.n_mels)
+    return mel, n_groups * cfg.reduction

@@ -72,6 +72,10 @@ def morse_audio(text: str) -> bytes:
                 continue
             if i < len(pattern) - 1:
                 segments.append(_silence(0.1))
+        # Reference quirk kept for bit-parity: the inter-letter gap is
+        # skipped whenever the character VALUE equals the final character
+        # (not just at the final position), e.g. "SOS" gets no gap after
+        # its first S (reference: backend/services/synthesizer.py:319-321).
         if char != text_upper[-1]:
             segments.append(_silence(0.3))
     if not segments:

@@ -1,0 +1,188 @@
+"""The semantic decoder: JanusPacket → PCM audio bytes.
+
+Mode routing, emotion prompting, voice-clone hot-reload and the failure-
+degradation ladder all mirror the reference synthesizer exactly
+(reference: backend/services/synthesizer.py:106-255):
+
+- MORSE_CODE  → local sine synthesis (bit-identical timings)
+- TEXT_ONLY   → fast TTS (no emotion tag unless an override is active)
+- SEMANTIC    → emotion-prompted TTS; the (pitch, energy) → tag table is
+  the reference's, including its dead 'Low' branches
+- semantic failure → fast TTS; fast-TTS failure → b''
+
+The synthesis itself runs the in-framework TTS transformer + iSTFT vocoder
+under one jitted program per text-length bucket, instead of a cloud call.
+Output is 48 kHz mono int16 PCM bytes ready for playback.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.common.config import JanusConfig
+from janus_tpu.common.protocol import JanusMode, JanusPacket
+from janus_tpu.models import tts as tts_mod
+from janus_tpu.models import vocoder as voc_mod
+from janus_tpu.models.speaker import init_speaker_encoder, speaker_embed
+from janus_tpu.models.tokenizer import ByteTokenizer
+from janus_tpu.ops.morse import morse_audio
+from janus_tpu.ops.resample import decimate_48k_to_16k, resample_poly
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Synthesizer"]
+
+_TEXT_BUCKETS = (32, 64, 128, 256)
+
+
+class Synthesizer:
+    """Packet → audio bytes, API-compatible with the reference service."""
+
+    def __init__(
+        self,
+        cfg: Optional[JanusConfig] = None,
+        tts_params=None,
+        vocoder_params=None,
+        speaker_params=None,
+        reference_audio_path: Optional[str] = None,
+        rng_seed: int = 0,
+    ) -> None:
+        self.cfg = cfg or JanusConfig()
+        self.tokenizer = ByteTokenizer()
+        self.tts_params = tts_params if tts_params is not None else tts_mod.init_tts(
+            rng_seed, self.cfg.tts, text_vocab=self.tokenizer.vocab_size
+        )
+        self.vocoder_params = (
+            vocoder_params
+            if vocoder_params is not None
+            else voc_mod.init_vocoder(rng_seed + 1, self.cfg.vocoder,
+                                      n_mels=self.cfg.tts.n_mels)
+        )
+        self.speaker_params = (
+            speaker_params
+            if speaker_params is not None
+            else init_speaker_encoder(rng_seed + 2, n_mels=self.cfg.tts.n_mels,
+                                      d_out=self.cfg.tts.d_model)
+        )
+
+        self._reference_audio_path = reference_audio_path
+        self._reference_audio_mtime: Optional[float] = None
+        self._speaker_vec: Optional[jax.Array] = None
+        if reference_audio_path:
+            self._load_reference_audio(reference_audio_path)
+
+        self._synth_jit = jax.jit(self._synth_impl, static_argnames=("text_len",))
+
+    # -- voice cloning (reference: synthesizer.py:67-104) ------------------
+
+    def _load_reference_audio(self, path: str) -> None:
+        try:
+            if os.path.exists(path):
+                from janus_tpu.audio.wav import read_wav
+
+                audio, sr = read_wav(path)
+                if sr == 48_000:
+                    audio16 = np.asarray(decimate_48k_to_16k(jnp.asarray(audio)))
+                elif sr == 16_000:
+                    audio16 = audio
+                else:
+                    audio16 = np.asarray(
+                        resample_poly(jnp.asarray(audio), up=16_000, down=sr)
+                    )
+                self._speaker_vec = speaker_embed(
+                    self.speaker_params, jnp.asarray(audio16),
+                    n_mels=self.cfg.tts.n_mels,
+                )
+                self._reference_audio_mtime = os.path.getmtime(path)
+            else:
+                self._speaker_vec = None
+                self._reference_audio_mtime = None
+        except Exception as e:  # degrade, never crash synthesis
+            logger.warning("Could not load reference audio from %s: %s", path, e)
+            self._speaker_vec = None
+            self._reference_audio_mtime = None
+
+    def _check_and_reload_reference_audio(self) -> None:
+        if self._reference_audio_path and os.path.exists(self._reference_audio_path):
+            mtime = os.path.getmtime(self._reference_audio_path)
+            if self._reference_audio_mtime is None or mtime != self._reference_audio_mtime:
+                self._load_reference_audio(self._reference_audio_path)
+
+    # -- device path -------------------------------------------------------
+
+    def _synth_impl(self, text_ids: jax.Array, emotion: jax.Array,
+                    speaker: Optional[jax.Array], text_len: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+        mel, n_frames = tts_mod.tts_generate(
+            self.tts_params, self.cfg.tts, text_ids, emotion,
+            speaker=speaker, text_vocab=self.tokenizer.vocab_size,
+        )
+        wav = voc_mod.vocoder_waveform(self.vocoder_params, self.cfg.vocoder, mel)
+        # 24 kHz -> 48 kHz for playback
+        wav48 = resample_poly(wav, up=2, down=1)
+        return wav48, n_frames * self.cfg.vocoder.hop_length * 2
+
+    def _run_tts(self, prompt_text: str, emotion_tag: str) -> bytes:
+        ids = self.tokenizer.encode(prompt_text)[: self.cfg.tts.max_text_tokens]
+        bucket = next((b for b in _TEXT_BUCKETS if len(ids) <= b), _TEXT_BUCKETS[-1])
+        padded = np.full((1, bucket), self.tokenizer.pad, dtype=np.int32)
+        padded[0, : len(ids)] = ids
+        emo = np.asarray([tts_mod.emotion_id(emotion_tag)], dtype=np.int32)
+        speaker = None
+        if self._speaker_vec is not None:
+            speaker = jnp.asarray(self._speaker_vec)[None, :]
+        wav, n_samples = self._synth_jit(
+            jnp.asarray(padded), jnp.asarray(emo), speaker, text_len=bucket
+        )
+        n = int(np.asarray(n_samples)[0]) if np.ndim(n_samples) else int(n_samples)
+        pcm = np.asarray(wav[0])[: max(n, 0)]
+        pcm = np.clip(pcm, -1.0, 1.0)
+        return (pcm * 32767.0).astype(np.int16).tobytes()
+
+    # -- public API (reference: synthesizer.py:106-255) --------------------
+
+    def synthesize(self, packet: JanusPacket) -> bytes:
+        if packet.mode == JanusMode.MORSE_CODE:
+            return morse_audio(packet.text)
+        if packet.mode == JanusMode.TEXT_ONLY:
+            return self._generate_fast_tts(packet.text, packet.override_emotion)
+        if packet.mode == JanusMode.SEMANTIC_VOICE:
+            return self._generate_semantic_audio(packet)
+        raise ValueError(f"Unknown packet mode: {packet.mode}")
+
+    def _generate_semantic_audio(self, packet: JanusPacket) -> bytes:
+        self._check_and_reload_reference_audio()
+        if packet.override_emotion and packet.override_emotion != "Auto":
+            emotion = packet.override_emotion
+        else:
+            prosody = packet.prosody or {}
+            emotion = _reference_emotion_table(
+                prosody.get("pitch", "Normal"), prosody.get("energy", "Normal")
+            )
+        try:
+            return self._run_tts(packet.text, emotion)
+        except Exception as e:
+            logger.error("Synthesis error: %s", e)
+            return self._generate_fast_tts(packet.text, packet.override_emotion)
+
+    def _generate_fast_tts(self, text: str, emotion: Optional[str] = None) -> bytes:
+        self._check_and_reload_reference_audio()
+        tag = emotion if (emotion and emotion != "Auto") else "neutral"
+        try:
+            return self._run_tts(text, tag)
+        except Exception as e:
+            logger.error("Fast TTS error: %s", e)
+            return b""
+
+
+def _reference_emotion_table(pitch: str, energy: str) -> str:
+    from janus_tpu.runtime.emotion import tts_emotion_tag
+
+    return tts_emotion_tag(pitch, energy)
