@@ -106,7 +106,10 @@ class StreamAudioService(AudioService):
     reference: backend/tests/conftest.py:15-112)."""
 
     def __init__(self, input_audio: Optional[np.ndarray] = None,
-                 realtime: bool = False) -> None:
+                 realtime: bool = False, end_of_stream: bool = True) -> None:
+        """``end_of_stream=True`` makes ``read_chunk`` return None once the
+        input is consumed (capture producers treat that as stream end);
+        False pads silence forever like a live mic."""
         self.mock_mode = True
         self._pa = None
         self._in_stream = None
@@ -117,6 +120,7 @@ class StreamAudioService(AudioService):
         )
         self._pos = 0
         self._realtime = realtime
+        self._end_of_stream = end_of_stream
         self._lock = threading.Lock()
         self.written_chunks: List[bytes] = []
 
@@ -129,10 +133,12 @@ class StreamAudioService(AudioService):
     def exhausted(self) -> bool:
         return self._pos >= len(self._input)
 
-    def read_chunk(self) -> np.ndarray:
+    def read_chunk(self) -> Optional[np.ndarray]:
         if self._realtime:
             time.sleep(self.chunk_seconds)
         with self._lock:
+            if self._end_of_stream and self._pos >= len(self._input):
+                return None
             start, end = self._pos, self._pos + self.CHUNK_SAMPLES
             chunk = self._input[start:end]
             self._pos = end

@@ -65,6 +65,8 @@ def audio_producer(audio_service: AudioService, audio_queue: "queue.Queue",
     while not stop_event.is_set():
         try:
             chunk = audio_service.read_chunk()
+            if chunk is None:  # end of a file/stream-backed capture
+                break
             audio_queue.put(chunk, timeout=0.5)
         except queue.Full:
             continue

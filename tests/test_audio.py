@@ -48,7 +48,7 @@ def test_audio_service_mock_mode():
 
 def test_stream_audio_service_replay_and_capture():
     audio = np.arange(1536 * 2 + 100, dtype=np.float32) / 10_000
-    svc = StreamAudioService(audio)
+    svc = StreamAudioService(audio, end_of_stream=False)
     c1, c2, c3 = svc.read_chunk(), svc.read_chunk(), svc.read_chunk()
     np.testing.assert_array_equal(c1, audio[:1536])
     np.testing.assert_array_equal(c2, audio[1536:3072])
