@@ -25,8 +25,19 @@ def log(*a):
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: first-compile through the remote tunnel
+    # costs ~9 min; subsequent runs (e.g. the driver's) hit the cache.
+    cache_dir = os.environ.get(
+        "JANUS_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from janus_tpu.common.config import JanusConfig
     from janus_tpu.runtime.codec import SemanticEncoder

@@ -113,10 +113,14 @@ def init_asr(key: jax.Array | int, cfg: ASRConfig) -> Params:
 
 def _attention(p: Params, x: jax.Array, num_heads: int,
                mask: Optional[jax.Array] = None) -> jax.Array:
+    from janus_tpu.ops.flash import flash_attention
+
     q = split_heads(linear(x, p["q"]["w"], p["q"]["b"]), num_heads)
     k = split_heads(linear(x, p["k"]["w"], p["k"].get("b")), num_heads)
     v = split_heads(linear(x, p["v"]["w"], p["v"]["b"]), num_heads)
-    o = merge_heads(attend(q, k, v, mask))
+    # encoder self-attention is unmasked -> Pallas fused kernel on TPU
+    # (transparently the XLA path elsewhere)
+    o = merge_heads(flash_attention(q, k, v, mask=mask))
     return linear(o, p["out"]["w"], p["out"]["b"])
 
 

@@ -1,0 +1,186 @@
+"""Batched multi-session runtime: continuous batching for serving.
+
+The reference serves exactly one full-duplex session per process
+(reference: backend/server.py:69-84). This runtime serves N concurrent
+sessions per host by keeping the per-session control state host-side
+(segmenters, VAD floors, queues — cheap) and funneling all heavy compute
+through *batched* jitted programs:
+
+- every tick, one jitted VAD call scores the newest chunk of every active
+  session at once;
+- phrases completed by any session accumulate and are encoded together in
+  the next ``SemanticEncoder.encode_batch`` call (shared duration bucket);
+- synthesis requests batch the same way on the decode side.
+
+Chunks ride the native SPSC ring buffers (libjanus_host) from capture
+threads into the tick loop, so the Python-side cost per session-tick is a
+few dict operations.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from janus_tpu.common.config import JanusConfig
+from janus_tpu.common.protocol import JanusMode, JanusPacket
+from janus_tpu.models.vad import VoiceActivityDetector
+from janus_tpu.native import RingBuffer
+from janus_tpu.runtime.codec import SemanticEncoder
+from janus_tpu.runtime.emotion import api_mode_to_protocol
+from janus_tpu.runtime.segmenter import PhraseSegmenter, SegmenterEvent
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Session", "SessionManager"]
+
+
+@dataclass
+class Session:
+    """Host-side state for one duplex voice session."""
+
+    session_id: str
+    segmenter: PhraseSegmenter
+    ring: RingBuffer
+    mode: str = "semantic"
+    override_emotion: str = "Auto"
+    is_streaming: bool = True
+    packets_out: List[JanusPacket] = field(default_factory=list)
+    vad_floor: float = 1e-3
+    chunks_in: int = 0
+    phrases_encoded: int = 0
+
+
+class SessionManager:
+    """Owns N sessions and drives batched ticks."""
+
+    def __init__(
+        self,
+        cfg: Optional[JanusConfig] = None,
+        encoder: Optional[SemanticEncoder] = None,
+        on_packet: Optional[Callable[[str, JanusPacket], None]] = None,
+    ) -> None:
+        self.cfg = cfg or JanusConfig()
+        self.encoder = encoder or SemanticEncoder(self.cfg)
+        self.on_packet = on_packet
+        self.sessions: Dict[str, Session] = {}
+        self._vad = VoiceActivityDetector(
+            self.cfg.vad, sample_rate=self.cfg.audio.sample_rate
+        )
+        # batched probability path reuses the same jitted impl
+        self._chunk = self.cfg.audio.chunk_samples
+
+    # -- session lifecycle -------------------------------------------------
+
+    def add_session(self, session_id: str, mode: str = "semantic") -> Session:
+        if session_id in self.sessions:
+            raise KeyError(f"duplicate session {session_id}")
+        if len(self.sessions) >= self.cfg.runtime.max_sessions:
+            raise RuntimeError("session limit reached")
+        ring_cap = self._chunk * self.cfg.runtime.audio_queue_depth
+        s = Session(
+            session_id=session_id,
+            segmenter=PhraseSegmenter(self.cfg.segmenter),
+            ring=RingBuffer(ring_cap),
+            mode=mode,
+        )
+        self.sessions[session_id] = s
+        return s
+
+    def remove_session(self, session_id: str) -> None:
+        self.sessions.pop(session_id, None)
+
+    # -- ingestion (called from capture/socket threads) --------------------
+
+    def push_audio(self, session_id: str, samples: np.ndarray) -> bool:
+        """Thread-safe: feed capture samples into the session's ring."""
+        return self.sessions[session_id].ring.push(samples)
+
+    # -- the batched tick --------------------------------------------------
+
+    def tick(self) -> List[Tuple[str, JanusPacket]]:
+        """Drain one chunk per session, run batched VAD + segmentation, and
+        encode every completed phrase in one program. Returns the packets
+        produced this tick (also delivered via ``on_packet``)."""
+        import jax.numpy as jnp
+
+        from janus_tpu.models.vad import energy_gate_prob
+        from janus_tpu.ops.resample import decimate_48k_to_16k
+
+        active: List[Session] = []
+        chunks: List[np.ndarray] = []
+        for s in self.sessions.values():
+            if not s.is_streaming:
+                continue
+            chunk = s.ring.pop(self._chunk)
+            if chunk is None:
+                continue
+            s.chunks_in += 1
+            active.append(s)
+            chunks.append(chunk)
+
+        if not active:
+            return []
+
+        # one jitted call scores every session's chunk
+        batch = jnp.asarray(np.stack(chunks))
+        floors = jnp.asarray(np.asarray([s.vad_floor for s in active], np.float32))
+        probs, new_floors = energy_gate_prob(
+            decimate_48k_to_16k(batch), floors, self.cfg.vad.energy_gate_rms
+        )
+        probs = np.asarray(probs)
+        new_floors = np.asarray(new_floors)
+
+        phrases: List[Tuple[Session, np.ndarray]] = []
+        for s, chunk, p, fl in zip(active, chunks, probs, new_floors):
+            s.vad_floor = float(fl)
+            non_vad = s.mode in ("morse", "text_only")
+            is_speech = non_vad or (p > self.cfg.vad.threshold)
+            r = s.segmenter.push_streaming(chunk, is_speech)
+            if r.event is SegmenterEvent.PHRASE_READY:
+                phrases.append((s, r.phrase))
+
+        out: List[Tuple[str, JanusPacket]] = []
+        if phrases:
+            encoded = self.encoder.encode_batch([p for _, p in phrases])
+            for (s, _), res in zip(phrases, encoded):
+                s.phrases_encoded += 1
+                if not res["text"].strip():
+                    continue
+                packet = JanusPacket(
+                    text=res["text"],
+                    mode=api_mode_to_protocol(s.mode),
+                    prosody=res["prosody"],
+                    override_emotion=s.override_emotion,
+                )
+                s.packets_out.append(packet)
+                out.append((s.session_id, packet))
+                if self.on_packet is not None:
+                    self.on_packet(s.session_id, packet)
+        return out
+
+    def run(self, stop_check: Callable[[], bool], tick_sleep: float = 0.0) -> int:
+        """Tick until ``stop_check()`` is True; returns packets produced."""
+        total = 0
+        while not stop_check():
+            total += len(self.tick())
+            if tick_sleep:
+                time.sleep(tick_sleep)
+        return total
+
+    # -- introspection -----------------------------------------------------
+
+    def stats(self) -> Dict[str, Dict]:
+        return {
+            sid: {
+                "chunks_in": s.chunks_in,
+                "phrases_encoded": s.phrases_encoded,
+                "packets": len(s.packets_out),
+                "buffered_samples": len(s.ring),
+            }
+            for sid, s in self.sessions.items()
+        }

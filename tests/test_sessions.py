@@ -1,0 +1,100 @@
+"""Batched multi-session runtime: concurrent sessions through one encoder
+(BASELINE config 4 in miniature)."""
+
+import numpy as np
+import pytest
+
+from janus_tpu.audio.synthetic import conversation, voiced_phrase
+from janus_tpu.common.config import JanusConfig
+from janus_tpu.runtime.codec import SemanticEncoder
+from janus_tpu.runtime.profiling import StageTimer, trace
+from janus_tpu.runtime.sessions import SessionManager
+
+
+@pytest.fixture(scope="module")
+def manager():
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64, "asr.encoder_layers": 1, "asr.decoder_layers": 1,
+        "asr.num_heads": 4, "asr.n_mels": 16, "asr.vocab_size": 261,
+        "asr.max_source_positions": 512, "asr.max_target_positions": 32,
+        "asr.max_decode_tokens": 4,
+    })
+
+    class FixedText(SemanticEncoder):
+        def encode_batch(self, phrases):
+            out = super().encode_batch(phrases)
+            for i, r in enumerate(out):
+                r["text"] = f"phrase {i}"
+            return out
+
+    return SessionManager(cfg, encoder=FixedText(cfg, buckets=(48_000 * 4,)))
+
+
+def test_sessions_lifecycle(manager):
+    s = manager.add_session("a")
+    assert s.session_id == "a"
+    with pytest.raises(KeyError):
+        manager.add_session("a")
+    manager.remove_session("a")
+    assert "a" not in manager.sessions
+
+
+def test_batched_ticks_produce_per_session_packets(manager):
+    n_sessions = 6
+    for i in range(n_sessions):
+        manager.add_session(f"s{i}")
+
+    # distinct per-session audio: one spoken turn then silence
+    for i in range(n_sessions):
+        audio = conversation(turns=1, speech_seconds=1.0, silence_seconds=1.0,
+                             f0=150.0 + 30 * i, amp=0.3, seed=i)
+        assert manager.push_audio(f"s{i}", audio)
+
+    packets = []
+    for _ in range(80):  # enough ticks to drain ~2s of chunks
+        packets.extend(manager.tick())
+        if len(packets) >= n_sessions:
+            break
+
+    got_sessions = {sid for sid, _ in packets}
+    assert got_sessions == {f"s{i}" for i in range(n_sessions)}
+    stats = manager.stats()
+    assert all(st["phrases_encoded"] == 1 for st in stats.values())
+    for i in range(n_sessions):
+        manager.remove_session(f"s{i}")
+
+
+def test_session_isolation(manager):
+    """A silent session must produce nothing while a talking one does."""
+    talker = manager.add_session("talker")
+    silent = manager.add_session("silent")
+    manager.push_audio("talker", conversation(turns=1, speech_seconds=1.0,
+                                              silence_seconds=1.0, amp=0.3))
+    manager.push_audio("silent", np.zeros(2 * 48_000, np.float32))
+
+    packets = []
+    for _ in range(80):
+        packets.extend(manager.tick())
+    sids = {sid for sid, _ in packets}
+    assert "talker" in sids
+    assert "silent" not in sids
+    manager.remove_session("talker")
+    manager.remove_session("silent")
+
+
+def test_stage_timer_rtf():
+    t = StageTimer()
+    with t.stage("encode"):
+        pass
+    with t.stage("encode"):
+        pass
+    t.add_audio_seconds(10.0)
+    rep = t.report()
+    assert rep["encode"]["calls"] == 2
+    assert rep["encode"]["rtf"] >= 0.0
+
+
+def test_trace_noop():
+    with trace(None):
+        x = 1 + 1
+    assert x == 2
