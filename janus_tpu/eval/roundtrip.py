@@ -1,0 +1,174 @@
+"""Round-trip codec evaluation (BASELINE config 3).
+
+Measures the full semantic loop on the synthetic tone-language:
+
+    text ──render──▶ speech ──SemanticEncoder──▶ packet
+         ◀──WER──── re-transcribed ◀──ASR── reconstructed ◀──TTS+vocoder──
+
+Reported: transcription WER (speech→packet), round-trip WER
+(packet→speech→text), categorical prosody agreement across the wire, mean
+packet size / airtime at 300 bps, and copy-synthesis SNR for the vocoder
+path. The reference published none of these (BASELINE.md).
+
+CLI::
+
+    python -m janus_tpu.eval.roundtrip --asr-ckpt checkpoints_demo_asr.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from janus_tpu.common.config import ASRConfig, JanusConfig
+from janus_tpu.common.protocol import JanusPacket
+from janus_tpu.eval.metrics import prosody_agreement, snr_db, word_error_rate
+from janus_tpu.models.tokenizer import ByteTokenizer
+from janus_tpu.train.synthetic_task import render_text, sample_text
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["load_npz_params", "evaluate_roundtrip"]
+
+
+def load_npz_params(path: str) -> Dict:
+    """Load a flat fp16 npz checkpoint back into a param tree."""
+    from janus_tpu.models.params import unflatten_from_paths
+
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    return unflatten_from_paths(
+        {k: jnp.asarray(data[k].astype(np.float32)) for k in data.files}
+    )
+
+
+def evaluate_roundtrip(
+    asr_params,
+    asr_cfg: ASRConfig,
+    n_utterances: int = 16,
+    seed: int = 7,
+    tts_params=None,
+    tts_cfg=None,
+    vocoder_params=None,
+    vocoder_cfg=None,
+) -> Dict:
+    """Returns the metric dict. TTS/vocoder params default to random
+    weights (the reconstruction numbers then measure the untrained lower
+    bound; transcription metrics are unaffected)."""
+    import jax.numpy as jnp
+
+    from janus_tpu.models.asr import prepare_mel, transcribe_mel
+    from janus_tpu.ops.resample import resample_poly
+
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(seed)
+    texts = [sample_text(rng) for _ in range(n_utterances)]
+
+    # --- speech -> packet (transcription + prosody) ---
+    cfg = JanusConfig()
+    sr = cfg.audio.sample_rate
+    phrases = []
+    for i, t in enumerate(texts):
+        wav16 = render_text(t, 16_000, seed=i)
+        wav48 = np.asarray(resample_poly(jnp.asarray(wav16), up=3, down=1))
+        phrases.append(wav48.astype(np.float32))
+
+    from janus_tpu.runtime.codec import SemanticEncoder
+
+    encoder = SemanticEncoder(
+        cfg.override(**{f"asr.{k}": v for k, v in asr_cfg.__dict__.items()}),
+        asr_params=asr_params,
+    )
+    results = encoder.encode_batch(phrases)
+    hyps = [r["text"] for r in results]
+    tx_wer = word_error_rate(texts, hyps)
+
+    packets = [
+        JanusPacket(text=r["text"], prosody=r["prosody"], timestamp=0.0)
+        for r in results
+    ]
+    sizes = [p.wire_size() for p in packets]
+
+    # --- packet -> speech -> text (round trip) ---
+    from janus_tpu.runtime.synthesizer import Synthesizer
+
+    synth_cfg = cfg
+    if tts_cfg is not None:
+        synth_cfg = synth_cfg.override(**{f"tts.{k}": v for k, v in tts_cfg.__dict__.items()})
+    if vocoder_cfg is not None:
+        synth_cfg = synth_cfg.override(
+            **{f"vocoder.{k}": v for k, v in vocoder_cfg.__dict__.items()}
+        )
+    synth = Synthesizer(synth_cfg, tts_params=tts_params,
+                        vocoder_params=vocoder_params)
+    rt_hyps: List[str] = []
+    for p in packets:
+        audio_bytes = synth.synthesize(p)
+        pcm = np.frombuffer(audio_bytes, dtype=np.int16).astype(np.float32) / 32768.0
+        if len(pcm) < 1536 * 6:
+            rt_hyps.append("")
+            continue
+        rt = encoder.encode_batch([pcm])[0]
+        rt_hyps.append(rt["text"])
+    rt_wer = word_error_rate(texts, rt_hyps)
+
+    # --- prosody across the wire ---
+    ref_pros = [(r["prosody"]["energy"], r["prosody"]["pitch"]) for r in results]
+    wire_pros = [
+        (JanusPacket.deserialize(p.serialize()).prosody.get("energy"),
+         JanusPacket.deserialize(p.serialize()).prosody.get("pitch"))
+        for p in packets
+    ]
+    pros_agree = prosody_agreement(ref_pros, wire_pros)
+
+    # --- vocoder copy-synthesis SNR (tone-language domain) ---
+    from janus_tpu.models.vocoder import vocoder_waveform
+    from janus_tpu.ops.mel import log_mel_spectrogram
+
+    wav24 = np.asarray(
+        resample_poly(jnp.asarray(render_text(texts[0], 16_000, seed=0)),
+                      up=3, down=2)
+    )
+    mel24 = log_mel_spectrogram(
+        jnp.asarray(wav24), synth_cfg.vocoder.sample_rate,
+        synth_cfg.vocoder.n_fft, synth_cfg.vocoder.hop_length,
+        synth_cfg.tts.n_mels,
+    )
+    recon = np.asarray(
+        vocoder_waveform(synth.vocoder_params, synth_cfg.vocoder, mel24,
+                         length=len(wav24))
+    )
+    copy_snr = snr_db(wav24, recon)
+
+    return {
+        "transcription_wer": round(tx_wer, 4),
+        "roundtrip_wer": round(rt_wer, 4),
+        "prosody_agreement": round(pros_agree, 4),
+        "mean_packet_bytes": round(float(np.mean(sizes)), 1),
+        "mean_airtime_s_at_300bps": round(float(np.mean(sizes)) / 37.5, 3),
+        "vocoder_copy_snr_db": round(copy_snr, 2),
+        "n_utterances": n_utterances,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--asr-ckpt", default="checkpoints_demo_asr.npz")
+    parser.add_argument("--n", type=int, default=16)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from janus_tpu.train.demo import demo_asr_config
+
+    params = load_npz_params(args.asr_ckpt)
+    metrics = evaluate_roundtrip(params, demo_asr_config(), n_utterances=args.n)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()
