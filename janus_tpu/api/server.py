@@ -57,6 +57,16 @@ class JanusServer:
 
         self.http.route("GET", "/api/health", health_check)
 
+        async def dashboard(_request: Request) -> Response:
+            from janus_tpu.api.dashboard import DASHBOARD_HTML
+
+            return Response(
+                body=DASHBOARD_HTML.encode(),
+                headers={"Content-Type": "text/html; charset=utf-8"},
+            )
+
+        self.http.route("GET", "/", dashboard)
+
         def transcribe_file(path: str) -> str:
             from janus_tpu.audio.wav import read_wav
             import jax.numpy as jnp
@@ -124,7 +134,9 @@ class JanusServer:
 
 
 async def _main() -> None:
-    logging.basicConfig(level=logging.INFO)
+    from janus_tpu.common.logging_util import setup_logging
+
+    setup_logging()
     server = JanusServer()
     await server.start()
     try:

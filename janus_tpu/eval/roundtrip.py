@@ -127,23 +127,30 @@ def evaluate_roundtrip(
     pros_agree = prosody_agreement(ref_pros, wire_pros)
 
     # --- vocoder copy-synthesis SNR (tone-language domain) ---
+    import math
+
     from janus_tpu.models.vocoder import vocoder_waveform
     from janus_tpu.ops.mel import log_mel_spectrogram
 
-    wav24 = np.asarray(
-        resample_poly(jnp.asarray(render_text(texts[0], 16_000, seed=0)),
-                      up=3, down=2)
-    )
-    mel24 = log_mel_spectrogram(
-        jnp.asarray(wav24), synth_cfg.vocoder.sample_rate,
-        synth_cfg.vocoder.n_fft, synth_cfg.vocoder.hop_length,
+    voc_sr = synth_cfg.vocoder.sample_rate
+    wav16 = render_text(texts[0], 16_000, seed=0)
+    if voc_sr != 16_000:
+        g = math.gcd(voc_sr, 16_000)
+        wav_v = np.asarray(
+            resample_poly(jnp.asarray(wav16), up=voc_sr // g, down=16_000 // g)
+        )
+    else:
+        wav_v = wav16
+    # vocoder input mel: standard 400-fft frontend at the vocoder hop
+    mel_v = log_mel_spectrogram(
+        jnp.asarray(wav_v), voc_sr, 400, synth_cfg.vocoder.hop_length,
         synth_cfg.tts.n_mels,
     )
     recon = np.asarray(
-        vocoder_waveform(synth.vocoder_params, synth_cfg.vocoder, mel24,
-                         length=len(wav24))
+        vocoder_waveform(synth.vocoder_params, synth_cfg.vocoder, mel_v,
+                         length=len(wav_v))
     )
-    copy_snr = snr_db(wav24, recon)
+    copy_snr = snr_db(wav_v, recon)
 
     return {
         "transcription_wer": round(tx_wer, 4),
@@ -157,16 +164,31 @@ def evaluate_roundtrip(
 
 
 def main() -> None:
+    import os
+
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--asr-ckpt", default="checkpoints_demo_asr.npz")
+    parser.add_argument("--asr-ckpt", default="checkpoints/demo_asr.npz")
+    parser.add_argument("--tts-ckpt", default="checkpoints/demo_tts.npz")
+    parser.add_argument("--voc-ckpt", default="checkpoints/demo_vocoder.npz")
     parser.add_argument("--n", type=int, default=16)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    from janus_tpu.train.demo import demo_asr_config
+    from janus_tpu.train.demo import (
+        demo_asr_config,
+        demo_tts_config,
+        demo_vocoder_config,
+    )
 
     params = load_npz_params(args.asr_ckpt)
-    metrics = evaluate_roundtrip(params, demo_asr_config(), n_utterances=args.n)
+    kw = {}
+    if os.path.exists(args.tts_ckpt):
+        kw["tts_params"] = load_npz_params(args.tts_ckpt)
+        kw["tts_cfg"] = demo_tts_config()
+    if os.path.exists(args.voc_ckpt):
+        kw["vocoder_params"] = load_npz_params(args.voc_ckpt)
+        kw["vocoder_cfg"] = demo_vocoder_config()
+    metrics = evaluate_roundtrip(params, demo_asr_config(), n_utterances=args.n, **kw)
     print(json.dumps(metrics, indent=2))
 
 

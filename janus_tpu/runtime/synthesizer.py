@@ -120,14 +120,20 @@ class Synthesizer:
     def _synth_impl(self, text_ids: jax.Array, emotion: jax.Array,
                     speaker: Optional[jax.Array], text_len: int
                     ) -> Tuple[jax.Array, jax.Array]:
+        import math
+
         mel, n_frames = tts_mod.tts_generate(
             self.tts_params, self.cfg.tts, text_ids, emotion,
             speaker=speaker, text_vocab=self.tokenizer.vocab_size,
         )
         wav = voc_mod.vocoder_waveform(self.vocoder_params, self.cfg.vocoder, mel)
-        # 24 kHz -> 48 kHz for playback
-        wav48 = resample_poly(wav, up=2, down=1)
-        return wav48, n_frames * self.cfg.vocoder.hop_length * 2
+        # vocoder rate -> 48 kHz playback
+        sr = self.cfg.vocoder.sample_rate
+        g = math.gcd(48_000, sr)
+        up, down = 48_000 // g, sr // g
+        wav48 = resample_poly(wav, up=up, down=down) if (up, down) != (1, 1) else wav
+        n48 = n_frames * self.cfg.vocoder.hop_length * up // down
+        return wav48, n48
 
     def _run_tts(self, prompt_text: str, emotion_tag: str) -> bytes:
         ids = self.tokenizer.encode(prompt_text)[: self.cfg.tts.max_text_tokens]

@@ -116,6 +116,109 @@ def evaluate_asr(params, cfg: ASRConfig, tok: ByteTokenizer,
     return wer, list(zip(texts, hyps))
 
 
+def demo_tts_config():
+    from janus_tpu.common.config import TTSConfig
+
+    return TTSConfig(
+        d_model=128, layers=3, num_heads=4, n_mels=80, reduction=2,
+        max_text_tokens=48, max_mel_frames=128,
+    )
+
+
+def demo_vocoder_config():
+    from janus_tpu.common.config import VocoderConfig
+
+    # trained on the 16 kHz tone-language domain directly (hop 160 matches
+    # the mel frontend, so TTS mel output feeds it with no resampling)
+    return VocoderConfig(n_fft=640, hop_length=160, d_model=128, layers=4,
+                         sample_rate=16_000)
+
+
+def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
+                   cfg=None, learning_rate: float = 1e-3, log_every: int = 100):
+    """Teacher-forced text->mel training on the tone language."""
+    from janus_tpu.models import tts as tts_mod
+    from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
+    from janus_tpu.train.losses import tts_loss
+    from janus_tpu.train.synthetic_task import mel_targets_for, sample_text
+
+    cfg = cfg or demo_tts_config()
+    tok = ByteTokenizer()
+    mesh = build_mesh(MeshConfig(data=1, model=1, seq=1))
+    params = tts_mod.init_tts(seed, cfg, text_vocab=tok.vocab_size)
+
+    def loss_fn(p, text, emo, mels, mask):
+        return tts_loss(p, cfg, text, emo, mels, mask, text_vocab=tok.vocab_size)
+
+    trainer = Trainer(loss_fn, mesh, TTS_PARTITION_RULES, learning_rate=learning_rate)
+    state = trainer.create_state(params)
+
+    rng = np.random.default_rng(seed)
+    max_groups = cfg.max_mel_frames // cfg.reduction
+    history = []
+    t0 = time.time()
+    for step in range(steps):
+        texts = [sample_text(rng) for _ in range(batch)]
+        text_ids = np.full((batch, cfg.max_text_tokens), tok.pad, np.int32)
+        for i, t in enumerate(texts):
+            ids = tok.encode(t)[: cfg.max_text_tokens]
+            text_ids[i, : len(ids)] = ids
+        emo = np.zeros((batch,), np.int32)
+        mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction, max_groups)
+        state, metrics = trainer.train_step(state, text_ids, emo, mels, mask)
+        history.append(float(metrics["loss"]))
+        if log_every and step % log_every == 0:
+            logger.info("tts step %d loss=%.4f (%.1fs)", step, metrics["loss"],
+                        time.time() - t0)
+    return state.params, cfg, tok, history
+
+
+def train_demo_vocoder(steps: int = 600, batch: int = 8, seed: int = 0,
+                       cfg=None, learning_rate: float = 2e-3,
+                       log_every: int = 100):
+    """mel -> waveform inversion on the tone-language domain."""
+    import jax.numpy as jnp
+
+    from janus_tpu.models.vocoder import init_vocoder
+    from janus_tpu.ops.mel import log_mel_spectrogram
+    from janus_tpu.parallel.sharding import VOCODER_PARTITION_RULES
+    from janus_tpu.train.losses import vocoder_loss
+    from janus_tpu.train.synthetic_task import render_text, sample_text
+
+    cfg = cfg or demo_vocoder_config()
+    mesh = build_mesh(MeshConfig(data=1, model=1, seq=1))
+    n_mels = 80
+    params = init_vocoder(seed, cfg, n_mels=n_mels)
+
+    def loss_fn(p, mel, wav):
+        return vocoder_loss(p, cfg, mel, wav)
+
+    trainer = Trainer(loss_fn, mesh, VOCODER_PARTITION_RULES,
+                      learning_rate=learning_rate)
+    state = trainer.create_state(params)
+
+    rng = np.random.default_rng(seed)
+    t_frames = 96
+    t_samples = t_frames * cfg.hop_length
+    history = []
+    t0 = time.time()
+    for step in range(steps):
+        wavs = np.zeros((batch, t_samples), np.float32)
+        for i in range(batch):
+            w = render_text(sample_text(rng), cfg.sample_rate,
+                            seed=int(rng.integers(1 << 30)))
+            wavs[i, : min(len(w), t_samples)] = w[:t_samples]
+        mel = np.asarray(log_mel_spectrogram(
+            jnp.asarray(wavs), cfg.sample_rate, 400, cfg.hop_length, n_mels
+        ))[:, :t_frames, :]
+        state, metrics = trainer.train_step(state, mel, wavs)
+        history.append(float(metrics["loss"]))
+        if log_every and step % log_every == 0:
+            logger.info("voc step %d loss=%.4f l1=%.4f (%.1fs)", step,
+                        metrics["loss"], metrics["voc_l1"], time.time() - t0)
+    return state.params, cfg, history
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=600)

@@ -74,6 +74,37 @@ def tts_loss(params, cfg: TTSConfig, text_ids: jax.Array, emotion: jax.Array,
     return loss, {"tts_l1": l1, "tts_l2": l2, "tts_stop": stop}
 
 
+def vocoder_loss(params, cfg, mel: jax.Array, target_wav: jax.Array
+                 ) -> Tuple[jax.Array, Dict]:
+    """Multi-resolution STFT loss + L1 waveform for the iSTFT vocoder.
+
+    ``mel[B, T, n_mels]`` (the vocoder's own input representation),
+    ``target_wav[B, T*hop]``.
+    """
+    from janus_tpu.models.vocoder import vocoder_waveform
+    from janus_tpu.ops.stft import stft
+
+    pred = vocoder_waveform(params, cfg, mel, length=target_wav.shape[-1])
+    l1 = jnp.mean(jnp.abs(pred - target_wav))
+
+    sc_total = 0.0
+    mag_total = 0.0
+    resolutions = ((512, 128), (1024, 256))
+    for n_fft, hop in resolutions:
+        sp = jnp.abs(stft(pred, n_fft=n_fft, hop=hop))
+        st = jnp.abs(stft(target_wav, n_fft=n_fft, hop=hop))
+        sc_total = sc_total + jnp.linalg.norm(sp - st) / jnp.maximum(
+            jnp.linalg.norm(st), 1e-6
+        )
+        mag_total = mag_total + jnp.mean(
+            jnp.abs(jnp.log(sp + 1e-5) - jnp.log(st + 1e-5))
+        )
+    n_res = len(resolutions)
+    loss = 10.0 * l1 + sc_total / n_res + mag_total / n_res
+    return loss, {"voc_l1": l1, "voc_sc": sc_total / n_res,
+                  "voc_mag": mag_total / n_res}
+
+
 def vad_loss(params, chunk_16k: jax.Array, label: jax.Array) -> Tuple[jax.Array, Dict]:
     """BCE on speech/non-speech chunk labels."""
     prob = vad_mod.vad_model_prob(params, chunk_16k)

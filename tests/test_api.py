@@ -187,3 +187,12 @@ def test_bad_ws_message_does_not_kill_connection(server):
         ws.send(json.dumps({"type": "control", "mode": "text_only"}))
         ack = json.loads(ws.recv(timeout=5))
         assert ack["mode"] == "text_only"
+
+
+def test_dashboard_served(server):
+    import httpx
+
+    r = httpx.get(f"http://127.0.0.1:{server.http.bound_port}/")
+    assert r.status_code == 200
+    assert "janus_tpu dashboard" in r.text
+    assert "/ws/janus" in r.text
