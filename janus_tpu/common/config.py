@@ -257,6 +257,31 @@ class JanusConfig:
             ),
         })
 
+    @classmethod
+    def from_cli(cls, argv: Optional[list] = None,
+                 base: Optional["JanusConfig"] = None) -> "JanusConfig":
+        """Apply ``--set path=value`` overrides from the command line, e.g.
+        ``--set link.baud_rate=1200 --set asr.d_model=512``. Values parse as
+        JSON first (ints/floats/bools), falling back to strings."""
+        import argparse
+        import json
+
+        parser = argparse.ArgumentParser(add_help=False)
+        parser.add_argument("--set", action="append", default=[], dest="sets")
+        ns, _unknown = parser.parse_known_args(argv)
+        cfg = base if base is not None else cls.from_env()
+        overrides: Dict[str, Any] = {}
+        for item in ns.sets:
+            if "=" not in item:
+                raise ValueError(f"--set expects path=value, got {item!r}")
+            path, raw = item.split("=", 1)
+            try:
+                value = json.loads(raw)
+            except json.JSONDecodeError:
+                value = raw
+            overrides[path] = value
+        return cfg.override(**overrides)
+
     def to_flat_dict(self) -> Dict[str, Any]:
         """Flatten to dotted keys — for logging/hashing a deployment."""
         out: Dict[str, Any] = {}

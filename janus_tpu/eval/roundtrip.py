@@ -165,6 +165,9 @@ def evaluate_roundtrip(
 
 def main() -> None:
     import os
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--asr-ckpt", default="checkpoints/demo_asr.npz")

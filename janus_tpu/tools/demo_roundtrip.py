@@ -24,6 +24,9 @@ from janus_tpu.runtime.synthesizer import Synthesizer
 
 
 def main() -> None:
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seconds", type=float, default=1.5)
     parser.add_argument("--f0", type=float, default=190.0)

@@ -104,6 +104,9 @@ def receive_loop(
 
 
 def main() -> None:
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--idle-exit", type=float, default=0.0)
     args = parser.parse_args()

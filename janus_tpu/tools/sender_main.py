@@ -110,6 +110,9 @@ def _process(encoder: SemanticEncoder, link: LinkSimulator, cfg: JanusConfig,
 
 
 def main() -> None:
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--file", help="WAV file to stream instead of the mic")
     parser.add_argument("--mode", default="semantic",

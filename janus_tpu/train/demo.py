@@ -220,6 +220,9 @@ def train_demo_vocoder(steps: int = 600, batch: int = 8, seed: int = 0,
 
 
 def main() -> None:
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=600)
     parser.add_argument("--batch", type=int, default=16)

@@ -58,3 +58,19 @@ def test_flat_dict_roundtrip_keys():
     assert flat["audio.sample_rate"] == 48_000
     assert flat["asr.encoder_layers"] == 4
     assert "mesh.axis_names" in flat
+
+
+def test_from_cli_overrides():
+    cfg = JanusConfig.from_cli(
+        ["--set", "link.baud_rate=1200", "--set", "asr.dtype=float32",
+         "--set", "vad.backend=energy"],
+        base=JanusConfig(),
+    )
+    assert cfg.link.baud_rate == 1200
+    assert cfg.asr.dtype == "float32"
+    assert cfg.vad.backend == "energy"
+
+
+def test_from_cli_bad_item():
+    with pytest.raises(ValueError):
+        JanusConfig.from_cli(["--set", "nonsense"], base=JanusConfig())
