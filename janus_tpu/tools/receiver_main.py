@@ -109,10 +109,21 @@ def main() -> None:
     apply_env_platform()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--idle-exit", type=float, default=0.0)
+    parser.add_argument("--demo", action="store_true",
+                        help="use the committed tone-language demo TTS/vocoder")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     cfg = JanusConfig.from_env()
-    played = receive_loop(cfg, AudioService(), max_idle_seconds=args.idle_exit)
+    synthesizer = None
+    if args.demo:
+        from janus_tpu.models.zoo import load_demo
+
+        bundle = load_demo(base=cfg)
+        cfg = bundle.config
+        synthesizer = Synthesizer(cfg, tts_params=bundle.tts_params,
+                                  vocoder_params=bundle.vocoder_params)
+    played = receive_loop(cfg, AudioService(), synthesizer=synthesizer,
+                          max_idle_seconds=args.idle_exit)
     logger.info("done: %d packets played", played)
 
 

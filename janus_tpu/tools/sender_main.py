@@ -119,10 +119,19 @@ def main() -> None:
                         choices=("semantic", "text_only", "morse"))
     parser.add_argument("--idle-exit", type=float, default=0.0,
                         help="exit after N seconds without audio")
+    parser.add_argument("--demo", action="store_true",
+                        help="use the committed tone-language demo ASR")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     cfg = JanusConfig.from_env()
+    encoder = None
+    if args.demo:
+        from janus_tpu.models.zoo import load_demo
+
+        bundle = load_demo(base=cfg)
+        cfg = bundle.config
+        encoder = SemanticEncoder(cfg, asr_params=bundle.asr_params)
     if args.file:
         from janus_tpu.audio.wav import read_wav
 
@@ -132,7 +141,7 @@ def main() -> None:
         service: AudioService = StreamAudioService(audio, realtime=True)
     else:
         service = AudioService()
-    sent = main_loop(cfg, service, mode=args.mode,
+    sent = main_loop(cfg, service, encoder=encoder, mode=args.mode,
                      max_idle_seconds=args.idle_exit)
     logger.info("done: %d packets", sent)
 

@@ -70,6 +70,8 @@ def train_demo_asr(
 
     from janus_tpu.models.asr import prepare_mel
 
+    from janus_tpu.ops.resample import decimate_48k_to_16k, resample_poly
+
     rng = np.random.default_rng(seed)
     max_seconds = 2.0
     n_frames = 2 * cfg.max_source_positions  # 256 frames = 2.56 s budget
@@ -80,6 +82,10 @@ def train_demo_asr(
             rng, batch, tok, max_seconds=max_seconds,
             max_tokens=cfg.max_target_positions,
         )
+        # match the serving path: capture at 48 kHz, anti-aliased decimation
+        # back to 16 kHz (the SemanticEncoder's own frontend filtering)
+        audio48 = resample_poly(jnp.asarray(audio), up=3, down=1)
+        audio = decimate_48k_to_16k(audio48)
         mel = np.asarray(prepare_mel(jnp.asarray(audio), cfg,
                                      pad_to_frames=n_frames))
         state, metrics = trainer.train_step(state, mel, tokens, mask)

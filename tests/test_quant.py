@@ -1,0 +1,92 @@
+"""Int8 quantization: round-trip accuracy, transparent linear consumption,
+end-to-end quantized ASR forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from janus_tpu.common.config import ASRConfig
+from janus_tpu.models import asr as asr_mod
+from janus_tpu.models.params import flatten_with_paths
+from janus_tpu.ops.layers import linear
+from janus_tpu.ops.quant import (
+    QuantizedWeight,
+    dequant,
+    linear_int8_dynamic,
+    quantize_tree,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_error(rng):
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)) * 0.05
+    qw = quantize_weight(w)
+    assert qw.q.dtype == jnp.int8
+    assert qw.scale.shape == (128,)
+    err = np.abs(np.asarray(dequant(qw)) - np.asarray(w))
+    # quantization step is scale = amax/127; error bounded by scale/2
+    bound = np.asarray(qw.scale) * 0.5 + 1e-8
+    assert np.all(err <= bound[None, :] + 1e-7)
+
+
+def test_linear_accepts_quantized_weight(rng):
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+    ref = np.asarray(linear(x, w, b))
+    out = np.asarray(linear(x, quantize_weight(w), b))
+    assert np.abs(out - ref).max() < 0.05
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.01
+
+
+def test_dynamic_int8_linear(rng):
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32)) * 0.05
+    ref = np.asarray(linear(x, w))
+    out = np.asarray(linear_int8_dynamic(x, quantize_weight(w)))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02
+
+
+def test_quantize_tree_selectivity():
+    cfg = ASRConfig(n_mels=16, d_model=64, encoder_layers=1, decoder_layers=1,
+                    num_heads=4, vocab_size=300, max_source_positions=32,
+                    max_target_positions=16)
+    params = asr_mod.init_asr(0, cfg)
+    qparams = quantize_tree(params)
+    flat = dict(flatten_with_paths(qparams))
+    # matmul weights quantized... (flatten descends into the NamedTuple)
+    assert any("attn/q/w" in k for k in flat)
+    # embeddings / norms / convs untouched
+    assert not isinstance(
+        _lookup(qparams, "decoder/token_emb"), QuantizedWeight
+    )
+    assert not isinstance(
+        _lookup(qparams, "encoder/conv1/w"), QuantizedWeight
+    )
+    assert isinstance(
+        _lookup(qparams, "encoder/blocks/0/mlp/fc1/w"), QuantizedWeight
+    )
+
+
+def _lookup(tree, path):
+    node = tree
+    for p in path.split("/"):
+        node = node[int(p)] if p.isdigit() else node[p]
+    return node
+
+
+def test_quantized_asr_forward_close_to_fp32(rng):
+    cfg = ASRConfig(n_mels=16, d_model=64, encoder_layers=2, decoder_layers=1,
+                    num_heads=4, vocab_size=300, max_source_positions=32,
+                    max_target_positions=16)
+    params = asr_mod.init_asr(0, cfg)
+    qparams = quantize_tree(params)
+    mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
+    ref = np.asarray(asr_mod.encode_audio(params, cfg, mel))
+    out = np.asarray(asr_mod.encode_audio(qparams, cfg, mel))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05
