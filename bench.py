@@ -83,6 +83,53 @@ def main() -> None:
         "batch": batch,
         "phrase_seconds": seconds,
     }
+
+    # Optional decode-side benchmark (KV-cached TTS sampling + vocoder at a
+    # fixed frame budget so the workload is deterministic regardless of the
+    # stop head). Adds a second large compile — opt-in.
+    if os.environ.get("JANUS_BENCH_DECODE") == "1":
+        import jax.numpy as jnp
+
+        from janus_tpu.models import tts as tts_mod
+        from janus_tpu.models import vocoder as voc_mod
+        from janus_tpu.models.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        tts_params = tts_mod.init_tts(0, cfg.tts, text_vocab=tok.vocab_size)
+        voc_params = voc_mod.init_vocoder(1, cfg.vocoder, n_mels=cfg.tts.n_mels)
+        dec_batch = 8
+        max_groups = 256  # 512 mel frames ≈ 5.5 s at 24 kHz hop 256
+
+        @jax.jit
+        def decode(text_ids, emo):
+            mel, _ = tts_mod.tts_generate(
+                tts_params, cfg.tts, text_ids, emo, max_groups=max_groups,
+                text_vocab=tok.vocab_size, stop_threshold=2.0,  # never stop
+            )
+            return voc_mod.vocoder_waveform(voc_params, cfg.vocoder, mel)
+
+        text = jnp.zeros((dec_batch, 64), dtype=jnp.int32)
+        emo = jnp.zeros((dec_batch,), dtype=jnp.int32)
+        log("decode: compiling...")
+        t0 = time.time()
+        decode(text, emo).block_until_ready()
+        log(f"decode warmup {time.time()-t0:.1f}s")
+        dts = []
+        gen_seconds = (
+            dec_batch * max_groups * cfg.tts.reduction * cfg.vocoder.hop_length
+            / cfg.vocoder.sample_rate
+        )
+        for i in range(3):
+            t0 = time.perf_counter()
+            decode(text, emo).block_until_ready()
+            dts.append(time.perf_counter() - t0)
+            log(f"decode iter {i}: {dts[-1]*1e3:.1f} ms "
+                f"rtf={dts[-1]/gen_seconds:.5f}")
+        result["decode_rtf_per_chip"] = round(min(dts) / gen_seconds, 6)
+        result["codec_rtf_per_chip"] = round(
+            rtf + min(dts) / gen_seconds, 6
+        )
+
     print(json.dumps(result), flush=True)
 
 

@@ -146,10 +146,10 @@ class SessionManager:
 
         out: List[Tuple[str, JanusPacket]] = []
         if phrases:
-            encoded = self.encoder.encode_batch([p for _, p in phrases])
+            encoded = self._encode_isolated(phrases)
             for (s, _), res in zip(phrases, encoded):
                 s.phrases_encoded += 1
-                if not res["text"].strip():
+                if res is None or not res["text"].strip():
                     continue
                 packet = JanusPacket(
                     text=res["text"],
@@ -163,6 +163,25 @@ class SessionManager:
                     self.on_packet(s.session_id, packet)
         return out
 
+    def _encode_isolated(self, phrases: List[Tuple[Session, np.ndarray]]) -> List:
+        """Batch-encode with per-session failure isolation: if the batched
+        program fails, fall back to encoding one phrase at a time so a
+        poisoned session degrades alone (the batched analog of the
+        reference's per-stage try/except ladder; reference:
+        backend/services/engine.py:510-526)."""
+        try:
+            return self.encoder.encode_batch([p for _, p in phrases])
+        except Exception as e:
+            logger.error("batched encode failed (%s); isolating per session", e)
+        results: List = []
+        for s, phrase in phrases:
+            try:
+                results.append(self.encoder.encode_batch([phrase])[0])
+            except Exception as e:
+                logger.error("session %s encode failed: %s", s.session_id, e)
+                results.append(None)
+        return results
+
     def run(self, stop_check: Callable[[], bool], tick_sleep: float = 0.0) -> int:
         """Tick until ``stop_check()`` is True; returns packets produced."""
         total = 0
@@ -171,6 +190,56 @@ class SessionManager:
             if tick_sleep:
                 time.sleep(tick_sleep)
         return total
+
+    # -- checkpoint / resume -----------------------------------------------
+
+    def snapshot(self) -> Dict[str, Dict]:
+        """Serializable snapshot of per-session streaming state (segmenter
+        buffers, pre-roll, VAD floor, control fields, undrained ring audio)
+        — the serving analog of model checkpointing, enabling live session
+        migration/restart (SURVEY.md §5: checkpoint/resume was absent in
+        the reference)."""
+        snap: Dict[str, Dict] = {}
+        for sid, s in self.sessions.items():
+            ring_audio = s.ring.pop(len(s.ring)) if len(s.ring) else None
+            if ring_audio is not None:
+                s.ring.push(ring_audio)  # non-destructive
+            seg = s.segmenter
+            snap[sid] = {
+                "mode": s.mode,
+                "override_emotion": s.override_emotion,
+                "is_streaming": s.is_streaming,
+                "vad_floor": s.vad_floor,
+                "chunks_in": s.chunks_in,
+                "phrases_encoded": s.phrases_encoded,
+                "segmenter": {
+                    "pre_roll": [c.tolist() for c in seg._pre_roll],
+                    "buffer": [c.tolist() for c in seg._buffer],
+                    "silence": seg._silence,
+                    "ptt_held": seg._ptt_held,
+                },
+                "ring_audio": ring_audio.tolist() if ring_audio is not None else None,
+            }
+        return snap
+
+    def restore(self, snap: Dict[str, Dict]) -> None:
+        """Rebuild sessions from :meth:`snapshot`."""
+        for sid, st in snap.items():
+            s = self.add_session(sid, mode=st["mode"])
+            s.override_emotion = st["override_emotion"]
+            s.is_streaming = st["is_streaming"]
+            s.vad_floor = st["vad_floor"]
+            s.chunks_in = st["chunks_in"]
+            s.phrases_encoded = st["phrases_encoded"]
+            seg = s.segmenter
+            for c in st["segmenter"]["pre_roll"]:
+                seg._pre_roll.append(np.asarray(c, dtype=np.float32))
+            seg._buffer = [np.asarray(c, dtype=np.float32)
+                           for c in st["segmenter"]["buffer"]]
+            seg._silence = st["segmenter"]["silence"]
+            seg._ptt_held = st["segmenter"]["ptt_held"]
+            if st["ring_audio"]:
+                s.ring.push(np.asarray(st["ring_audio"], dtype=np.float32))
 
     # -- introspection -----------------------------------------------------
 

@@ -98,3 +98,65 @@ def test_trace_noop():
     with trace(None):
         x = 1 + 1
     assert x == 2
+
+
+def test_snapshot_restore_resumes_mid_phrase(manager):
+    """A phrase split across snapshot/restore must still complete."""
+    from janus_tpu.audio.synthetic import conversation
+
+    s = manager.add_session("resume")
+    audio = conversation(turns=1, speech_seconds=1.0, silence_seconds=1.0,
+                         amp=0.3)
+    half = len(audio) // 2
+    manager.push_audio("resume", audio[:half])
+    for _ in range(40):
+        manager.tick()
+
+    snap = manager.snapshot()
+    assert "resume" in snap
+    manager.remove_session("resume")
+
+    # a fresh manager (same encoder) picks up the stream mid-phrase
+    manager.restore({"resume": snap["resume"]})
+    manager.push_audio("resume", audio[half:])
+    packets = []
+    for _ in range(60):
+        packets.extend(manager.tick())
+    assert any(sid == "resume" for sid, _ in packets)
+    manager.remove_session("resume")
+
+
+def test_failure_isolation(manager, monkeypatch):
+    """One poisoned session must not take down the others' packets."""
+    from janus_tpu.audio.synthetic import conversation
+
+    a = manager.add_session("good")
+    b = manager.add_session("bad")
+    for sid in ("good", "bad"):
+        manager.push_audio(sid, conversation(turns=1, speech_seconds=1.0,
+                                             silence_seconds=1.0, amp=0.3))
+
+    real = type(manager.encoder).encode_batch
+    single_calls = []
+
+    def batch_hook(phrases):
+        if len(phrases) > 1:
+            raise RuntimeError("batched program crashed")
+        # per-phrase retries run in session order (good first, bad second):
+        # poison the second one
+        single_calls.append(len(phrases))
+        if len(single_calls) == 2:
+            raise RuntimeError("poisoned phrase")
+        return real(manager.encoder, phrases)
+
+    monkeypatch.setattr(manager.encoder, "encode_batch", batch_hook)
+
+    packets = []
+    for _ in range(80):
+        packets.extend(manager.tick())
+    sids = {sid for sid, _ in packets}
+    assert "good" in sids  # survivor unaffected
+    assert "bad" not in sids  # poisoned session degraded alone
+    assert len(single_calls) >= 2  # fallback path actually exercised
+    manager.remove_session("good")
+    manager.remove_session("bad")
