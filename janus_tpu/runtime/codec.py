@@ -109,16 +109,25 @@ class SemanticEncoder:
 
     def encode_batch(self, phrases: Sequence[np.ndarray]) -> list:
         """Encode a batch of 48 kHz float32 phrases (ragged lengths) into
-        per-phrase dicts: {text, prosody, f0, rms}."""
+        per-phrase dicts: {text, prosody, f0, rms}.
+
+        Both dimensions are bucketed so a deployment compiles a handful of
+        programs total: durations into ``self.buckets`` and batch size up
+        to the next power of two (padded lanes are zero audio and get
+        sliced off the results).
+        """
         if not phrases:
             return []
         bucket = duration_bucket(max(len(p) for p in phrases), self.buckets)
-        batch = np.zeros((len(phrases), bucket), dtype=np.float32)
-        n_valid = np.zeros((len(phrases),), dtype=np.int32)
+        b_real = len(phrases)
+        b_pad = 1 << (b_real - 1).bit_length()  # next power of two
+        batch = np.zeros((b_pad, bucket), dtype=np.float32)
+        n_valid = np.zeros((b_pad,), dtype=np.int32)
         for i, p in enumerate(phrases):
             p = np.asarray(p, dtype=np.float32)[:bucket]
             batch[i, : len(p)] = p
             n_valid[i] = len(p)
+        # padded lanes keep n_valid=0; their outputs are discarded below
 
         # 16 kHz mel frame budget for this bucket (even, capped at 30 s)
         n16 = min(bucket // 3 // self.cfg.asr.hop_length,
@@ -135,7 +144,7 @@ class SemanticEncoder:
         rms = np.asarray(rms)
 
         out = []
-        for i in range(len(phrases)):
+        for i in range(b_real):
             ids = tokens[i]
             cut = np.where(ids == self.tokenizer.eot)[0]
             if cut.size:
