@@ -203,7 +203,7 @@ def _decoder_forward(
         q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
         k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
         v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
-        cache = state.self_caches[i].append(k, v)
+        cache = state.self_caches[i].append_lockstep(k, v)
         mask = cache.valid_mask(t_new, causal=True)
         x = x + linear(
             merge_heads(attend(q, cache.k, cache.v, mask)),

@@ -129,7 +129,7 @@ def _block(blk: Params, x: jax.Array, num_heads: int,
     q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), num_heads)
     k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), num_heads)
     v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), num_heads)
-    cache = cache.append(k, v)
+    cache = cache.append_lockstep(k, v)
     mask = cache.valid_mask(x.shape[-2], causal=True)
     x = x + linear(merge_heads(attend(q, cache.k, cache.v, mask)),
                    p["out"]["w"], p["out"]["b"])
