@@ -59,7 +59,18 @@ class SemanticEncoder:
         self.tokenizer = tokenizer or ByteTokenizer()
         if asr_params is None:
             asr_params = asr_mod.init_asr(0, self.cfg.asr)
+        # honor the configured inference dtype (bf16 default: half the
+        # weight HBM traffic; matmuls still accumulate fp32, norms/softmax
+        # run fp32 internally)
+        import jax.numpy as jnp
+
+        from janus_tpu.models.params import cast_floating
+
+        dtype = jnp.dtype(self.cfg.asr.dtype)
+        if dtype != jnp.float32:
+            asr_params = cast_floating(asr_params, dtype)
         self.params = asr_params
+        self._compute_dtype = dtype
         self.buckets = tuple(buckets)
         self._encode_jit = jax.jit(
             self._encode_impl, static_argnames=("n_16k_frames",)
@@ -94,7 +105,9 @@ class SemanticEncoder:
         # --- STT on anti-aliased 16 kHz ---
         audio_16k = decimate_48k_to_16k(audio_48k)
         mel = asr_mod.prepare_mel(audio_16k, acfg, pad_to_frames=n_16k_frames)
-        enc = asr_mod.encode_audio(self.params, acfg, mel)
+        enc = asr_mod.encode_audio(
+            self.params, acfg, mel.astype(self._compute_dtype)
+        )
         prompt = jnp.broadcast_to(
             jnp.asarray(self.tokenizer.sot_sequence(), dtype=jnp.int32),
             (audio_48k.shape[0], len(self.tokenizer.sot_sequence())),

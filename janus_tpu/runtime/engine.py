@@ -109,7 +109,7 @@ async def smart_ear_loop(
             if control.is_recording:
                 control.is_talking = True
                 result = segmenter.push_ptt(chunk, held=True)
-            elif segmenter._ptt_held:  # PTT just released
+            elif segmenter.ptt_held:  # PTT just released
                 control.is_talking = False
                 result = segmenter.push_ptt(chunk, held=False)
             elif control.is_streaming:

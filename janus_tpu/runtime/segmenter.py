@@ -60,6 +60,10 @@ class PhraseSegmenter:
         return len(self._buffer) > 0
 
     @property
+    def ptt_held(self) -> bool:
+        return self._ptt_held
+
+    @property
     def buffered_samples(self) -> int:
         return sum(len(c) for c in self._buffer)
 

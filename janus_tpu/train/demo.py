@@ -40,7 +40,7 @@ def demo_asr_config() -> ASRConfig:
         n_mels=80, d_model=128, encoder_layers=2, decoder_layers=2,
         num_heads=4, vocab_size=ByteTokenizer().vocab_size,
         max_source_positions=128, max_target_positions=48,
-        max_decode_tokens=32,
+        max_decode_tokens=32, dtype="float32",
     )
 
 
@@ -80,7 +80,7 @@ def train_demo_asr(
     for step in range(steps):
         audio, tokens, mask, _texts = sample_batch(
             rng, batch, tok, max_seconds=max_seconds,
-            max_tokens=cfg.max_target_positions,
+            max_tokens=cfg.max_target_positions, augment=True,
         )
         # match the serving path: capture at 48 kHz, anti-aliased decimation
         # back to 16 kHz (the SemanticEncoder's own frontend filtering)

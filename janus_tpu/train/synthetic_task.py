@@ -90,11 +90,15 @@ def sample_batch(
     sample_rate: int = 16_000,
     max_seconds: float = 2.0,
     max_tokens: int = 32,
+    augment: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Batch for ASR training: (audio[B, T], tokens[B, L], mask[B, L], texts).
 
     tokens = [sot] text-bytes [eot], padded with eot; mask marks sot..eot
-    inclusive (loss behind each real prediction target).
+    inclusive (loss behind each real prediction target). ``augment=True``
+    adds random leading silence (the VAD pre-roll a serving phrase carries)
+    and ±30% gain so the model matches the live segmenter's output
+    distribution.
     """
     t_max = int(max_seconds * sample_rate)
     audio = np.zeros((batch, t_max), dtype=np.float32)
@@ -105,7 +109,12 @@ def sample_batch(
         text = sample_text(rng)
         texts.append(text)
         wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)))
-        audio[i, : min(len(wav), t_max)] = wav[:t_max]
+        offset = 0
+        if augment:
+            offset = int(rng.integers(0, int(0.5 * sample_rate)))
+            wav = wav * float(rng.uniform(0.7, 1.3))
+        end = min(offset + len(wav), t_max)
+        audio[i, offset:end] = wav[: end - offset]
         ids = [tokenizer.sot] + tokenizer.encode(text)[: max_tokens - 2] + [tokenizer.eot]
         tokens[i, : len(ids)] = ids
         mask[i, : len(ids)] = 1.0
