@@ -130,6 +130,27 @@ def main() -> None:
             rtf + min(dts) / gen_seconds, 6
         )
 
+    # Optional concurrent-session scaling: encode throughput vs batch size
+    # (the BASELINE "concurrent sessions/s" axis). Opt-in: extra compiles.
+    if os.environ.get("JANUS_BENCH_SESSIONS") == "1":
+        sess_seconds = 2.0
+        scaling = {}
+        for b in (1, 8, 32, 64):
+            ph = [
+                voiced_phrase(f0=150.0 + 3 * i, seconds=sess_seconds,
+                              amp=0.12, seed=i)
+                for i in range(b)
+            ]
+            enc.encode_batch(ph)  # compile + warm
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                enc.encode_batch(ph)
+            dt = (time.perf_counter() - t0) / iters
+            scaling[str(b)] = round(b * sess_seconds / dt, 1)  # audio-s/s
+            log(f"batch {b}: {dt*1e3:.1f} ms -> {scaling[str(b)]} audio-s/s")
+        result["session_scaling_audio_s_per_s"] = scaling
+
     print(json.dumps(result), flush=True)
 
 

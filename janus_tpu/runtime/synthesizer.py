@@ -39,7 +39,6 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["Synthesizer"]
 
-_TEXT_BUCKETS = (32, 64, 128, 256)
 
 
 class Synthesizer:
@@ -137,7 +136,10 @@ class Synthesizer:
 
     def _run_tts(self, prompt_text: str, emotion_tag: str) -> bytes:
         ids = self.tokenizer.encode(prompt_text)[: self.cfg.tts.max_text_tokens]
-        bucket = next((b for b in _TEXT_BUCKETS if len(ids) <= b), _TEXT_BUCKETS[-1])
+        # pad to the model's full text length: the decoder-only TTS is
+        # position-sensitive (prompt length shifts the [BOA] slot), so the
+        # serving length must match the training length exactly
+        bucket = self.cfg.tts.max_text_tokens
         padded = np.full((1, bucket), self.tokenizer.pad, dtype=np.int32)
         padded[0, : len(ids)] = ids
         emo = np.asarray([tts_mod.emotion_id(emotion_tag)], dtype=np.int32)
