@@ -54,7 +54,12 @@ class SemanticEncoder:
         asr_params=None,
         tokenizer=None,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ) -> None:
+        """With a ``mesh``, serving shards the phrase batch over the
+        ``data`` axis and the ASR weights per the tensor-parallel rules
+        over ``model`` — the pod-scale layout of BASELINE config 5; XLA
+        derives the collectives from the shardings."""
         self.cfg = cfg or JanusConfig()
         self.tokenizer = tokenizer or ByteTokenizer()
         if asr_params is None:
@@ -69,6 +74,12 @@ class SemanticEncoder:
         dtype = jnp.dtype(self.cfg.asr.dtype)
         if dtype != jnp.float32:
             asr_params = cast_floating(asr_params, dtype)
+
+        self.mesh = mesh
+        if mesh is not None:
+            from janus_tpu.parallel.sharding import ASR_PARTITION_RULES, shard_params
+
+            asr_params = shard_params(asr_params, mesh, ASR_PARTITION_RULES)
         self.params = asr_params
         self._compute_dtype = dtype
         self.buckets = tuple(buckets)
@@ -147,8 +158,16 @@ class SemanticEncoder:
                   2 * self.cfg.asr.max_source_positions)
         n16 = max(2, n16 - (n16 % 2))
 
+        batch_j = jnp.asarray(batch)
+        n_valid_j = jnp.asarray(n_valid)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_shard = NamedSharding(self.mesh, P("data"))
+            batch_j = jax.device_put(batch_j, data_shard)
+            n_valid_j = jax.device_put(n_valid_j, data_shard)
         tokens, e_code, p_code, f0, rms = self._encode_jit(
-            jnp.asarray(batch), jnp.asarray(n_valid), n_16k_frames=n16
+            batch_j, n_valid_j, n_16k_frames=n16
         )
         tokens = np.asarray(tokens)
         e_code = np.asarray(e_code)

@@ -107,3 +107,21 @@ def test_emotion_mappings():
     assert ui_emotion_tag("Low", "Loud") == "Panicked"
     assert ui_emotion_tag("Low", "Quiet") == "Serious"
     assert ui_emotion_tag("Deep", "Loud") == "Neutral"
+
+
+def test_mesh_sharded_encoder_matches_single_device(encoder):
+    """DP+TP-sharded serving must produce identical packets."""
+    from janus_tpu.common.config import MeshConfig
+    from janus_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(MeshConfig(data=2, model=4, seq=1))
+    sharded = SemanticEncoder(encoder.cfg, asr_params=encoder.params,
+                              buckets=encoder.buckets, mesh=mesh)
+    phrases = [voiced_phrase(f0=140.0 + 40 * i, amp=0.15, seconds=1.0)
+               for i in range(4)]
+    ref = encoder.encode_batch(phrases)
+    out = sharded.encode_batch(phrases)
+    for r, o in zip(ref, out):
+        assert r["text"] == o["text"]
+        assert r["prosody"] == o["prosody"]
+        assert abs(r["f0"] - o["f0"]) < 1e-2
