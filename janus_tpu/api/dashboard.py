@@ -86,19 +86,25 @@ function connect() {
         "streaming: " + (m.is_streaming ? "on" : "off");
       document.getElementById("stream").className = m.is_streaming ? "active" : "";
     } else if (m.type === "transcript") {
-      addItem("transcripts", `"${m.text}"` +
+      addItem("transcripts", `"${esc(m.text)}"` +
         (m.avg_pitch_hz ? ` <span class=dim>${m.avg_pitch_hz.toFixed(0)}Hz</span>` : ""));
     } else if (m.type === "packet_summary") {
       totalBytes += m.bytes; totalPackets += 1;
       document.getElementById("totals").textContent =
         ` ${totalPackets} pkts / ${totalBytes} B`;
-      addItem("packets", `${m.bytes}B [${m.mode}]` +
-        (m.emotion ? ` ${m.emotion}` : "") +
-        (m.snippet ? ` <span class=dim>${m.snippet}</span>` : ""));
+      addItem("packets", `${Number(m.bytes)}B [${esc(m.mode)}]` +
+        (m.emotion ? ` ${esc(m.emotion)}` : "") +
+        (m.snippet ? ` <span class=dim>${esc(m.snippet)}</span>` : ""));
     }
   };
 }
+function esc(s) {
+  const d = document.createElement("span");
+  d.textContent = String(s);
+  return d.innerHTML;
+}
 function addItem(listId, html) {
+  // callers escape remote strings with esc(); html here is trusted markup
   const li = document.createElement("li");
   li.innerHTML = html;
   const ul = document.getElementById(listId);

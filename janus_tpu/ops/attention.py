@@ -102,10 +102,14 @@ class KVCache(NamedTuple):
     def append(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Write ``[..., H, T_new, Dh]`` at the fill point, advance length.
 
-        Implemented as a one-hot scatter-add (dynamic_update_slice needs a
-        scalar start index, which breaks under vmap over the session batch;
-        the one-hot contraction is MXU-cheap for the T_new=1 decode case,
-        and unwritten slots are zero so add == write).
+        General path: per-lane fill points (one-hot scatter-add, which
+        works under vmap where dynamic_update_slice's scalar start cannot).
+        The lockstep decode loops use :meth:`append_lockstep` instead.
+
+        Capacity contract: writes past ``t_max`` are dropped (the one-hot
+        of an out-of-range position is all-zero) while ``length`` still
+        advances — callers must size ``t_max`` to their decode budget, as
+        ``greedy_decode``/``tts_generate`` do.
         """
         t_max = self.k.shape[-2]
         t_new = k_new.shape[-2]

@@ -79,8 +79,9 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
 def _flash_bh(q, k, v, causal: bool, interpret: bool):
-    """[BH, T, D] fused attention."""
+    """[BH, Tq, D] x [BH, Tk, D] fused attention."""
     bh, t, d = q.shape
+    t_kv = k.shape[1]  # key length may differ from query length
     scale = d**-0.5
     block_q = min(_BLOCK_Q, max(8, t))
 
@@ -92,7 +93,7 @@ def _flash_bh(q, k, v, causal: bool, interpret: bool):
 
     grid = (bh, t_q // block_q)
     kernel = functools.partial(
-        _kernel, scale=scale, causal=causal, t_valid=t, block_q=block_q
+        _kernel, scale=scale, causal=causal, t_valid=t_kv, block_q=block_q
     )
     out = pl.pallas_call(
         kernel,

@@ -88,26 +88,38 @@ def _quadratic_interp(y: jax.Array, pos: jax.Array) -> jax.Array:
 
 
 def yin_frame(
-    window: jax.Array, sample_rate: int, tolerance: float = 0.8
+    window: jax.Array, sample_rate: int, tolerance: float = 0.8,
+    fmin: float | None = None, fmax: float | None = None,
 ) -> jax.Array:
-    """F0 in Hz for window(s) ``[..., buf]``; 0.0 where unvoiced."""
+    """F0 in Hz for window(s) ``[..., buf]``; 0.0 where unvoiced.
+
+    ``fmin``/``fmax`` optionally bound the period search (None = the full
+    aubio-parity lag range).
+    """
     buf = window.shape[-1]
     n_lags = buf // 2
     d = _difference_function(window.astype(jnp.float32), n_lags)
     y = _cmndf(d)
 
+    p_lo = 2 if fmax is None else max(2, int(sample_rate / fmax))
+    p_hi = n_lags - 4 if fmin is None else min(n_lags - 4, int(sample_rate / fmin))
+
     # First local minimum below tolerance, aubio-style: scanning τ>4 and
-    # testing period p=τ-3 → candidate p ∈ [2, n_lags-4] with y[p] < y[p+1].
+    # testing period p=τ-3 → candidate p ∈ [p_lo, p_hi] with y[p] < y[p+1].
     p_idx = jnp.arange(n_lags)
-    cand = (
-        (p_idx >= 2)
-        & (p_idx <= n_lags - 4)
-        & (y < tolerance)
-        & (y < jnp.roll(y, -1, axis=-1))
-    )
+    in_range = (p_idx >= p_lo) & (p_idx <= p_hi)
+    cand = in_range & (y < tolerance) & (y < jnp.roll(y, -1, axis=-1))
+    if fmin is not None or fmax is not None:
+        # aubio's one-sided test relies on scanning down a dip from the
+        # left; a clipped range can start mid-rising-slope, so bounded
+        # searches require a genuine (two-sided) local minimum
+        cand = cand & (y <= jnp.roll(y, 1, axis=-1))
     has_cand = jnp.any(cand, axis=-1)
     first = jnp.argmax(cand, axis=-1)
-    fallback = jnp.argmin(y, axis=-1)
+    if fmin is None and fmax is None:
+        fallback = jnp.argmin(y, axis=-1)  # aubio parity: full-array min
+    else:
+        fallback = jnp.argmin(jnp.where(in_range, y, jnp.inf), axis=-1)
     pos = jnp.where(has_cand, first, fallback)
 
     period = _quadratic_interp(y, pos)
@@ -134,12 +146,15 @@ def yin_track(
     buf: int = 4096,
     hop: int = 512,
     tolerance: float = 0.8,
+    fmin: float | None = None,
+    fmax: float | None = None,
 ) -> jax.Array:
     """Per-hop F0 track ``[..., n_hops]`` in Hz (0 = unvoiced) for ``[..., T]``
     audio, matching the reference's streaming loop
-    (reference: backend/services/prosody.py:76-88)."""
+    (reference: backend/services/prosody.py:76-88). ``fmin``/``fmax``
+    optionally bound the search (None = aubio-parity full range)."""
     windows = _hop_windows(audio.astype(jnp.float32), buf, hop)
-    return yin_frame(windows, sample_rate, tolerance)
+    return yin_frame(windows, sample_rate, tolerance, fmin=fmin, fmax=fmax)
 
 
 def mean_voiced_pitch(track: jax.Array, n_valid: jax.Array | None = None) -> jax.Array:

@@ -107,7 +107,7 @@ class SemanticEncoder:
 
         track = yin_track(
             audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
-            pcfg.yin_tolerance,
+            pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz,
         )
         n_hops = -(-n_valid // pcfg.hop)
         f0 = mean_voiced_pitch(track, n_valid=n_hops)
@@ -142,6 +142,13 @@ class SemanticEncoder:
         """
         if not phrases:
             return []
+        max_bucket = self.buckets[-1]
+        if any(len(p) > max_bucket for p in phrases):
+            # phrases beyond the largest bucket are split into bucket-sized
+            # chunks, encoded as extra lanes, and merged afterwards (the
+            # reference transcribed arbitrarily long buffers; truncating
+            # here would silently drop tail audio)
+            return self._encode_with_splitting(phrases, max_bucket)
         bucket = duration_bucket(max(len(p) for p in phrases), self.buckets)
         b_real = len(phrases)
         b_pad = 1 << (b_real - 1).bit_length()  # next power of two
@@ -190,6 +197,49 @@ class SemanticEncoder:
                 },
                 "f0": float(f0[i]),
                 "rms": float(rms[i]),
+            })
+        return out
+
+    def _encode_with_splitting(self, phrases: Sequence[np.ndarray],
+                               max_bucket: int) -> list:
+        """Chunk overlong phrases, encode all chunks in one batch, merge."""
+        pcfg = self.cfg.prosody
+        segments: list = []
+        spans: list = []  # (start, count, [lengths]) per original phrase
+        for p in phrases:
+            p = np.asarray(p, dtype=np.float32)
+            start = len(segments)
+            lengths = []
+            for off in range(0, len(p), max_bucket):
+                seg = p[off : off + max_bucket]
+                segments.append(seg)
+                lengths.append(len(seg))
+            spans.append((start, len(lengths), lengths))
+
+        seg_results = self.encode_batch(segments)  # all ≤ max_bucket now
+        out = []
+        for start, count, lengths in spans:
+            chunk = seg_results[start : start + count]
+            if count == 1:
+                out.append(chunk[0])
+                continue
+            total = float(sum(lengths))
+            text = " ".join(r["text"] for r in chunk if r["text"].strip()).strip()
+            rms = float(np.sqrt(sum((r["rms"] ** 2) * n for r, n in
+                                    zip(chunk, lengths)) / max(total, 1.0)))
+            voiced = [(r["f0"], n) for r, n in zip(chunk, lengths) if r["f0"] > 0]
+            f0 = (sum(f * n for f, n in voiced) / sum(n for _, n in voiced)
+                  if voiced else 0.0)
+            energy = ("Quiet" if rms < pcfg.energy_quiet
+                      else "Normal" if rms < pcfg.energy_loud else "Loud")
+            pitch = ("Normal" if f0 <= 0 else
+                     "Deep" if f0 < pcfg.pitch_deep_hz else
+                     "Normal" if f0 < pcfg.pitch_high_hz else "High")
+            out.append({
+                "text": text,
+                "prosody": {"energy": energy, "pitch": pitch},
+                "f0": float(f0),
+                "rms": rms,
             })
         return out
 

@@ -116,7 +116,9 @@ async def smart_ear_loop(
                 # morse/text modes bypass the VAD gate
                 # (reference: engine.py:472-474)
                 non_vad = control.mode in ("morse", "text_only")
-                is_speech = non_vad or vad.is_speech(chunk)
+                # VAD runs first even in non-VAD modes so the adaptive
+                # noise floor keeps tracking (reference order: engine.py:475)
+                is_speech = vad.is_speech(chunk) or non_vad
                 result = segmenter.push_streaming(chunk, is_speech)
                 if result.event is SegmenterEvent.PHRASE_START:
                     control.is_talking = True

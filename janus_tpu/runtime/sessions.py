@@ -28,7 +28,6 @@ import numpy as np
 
 from janus_tpu.common.config import JanusConfig
 from janus_tpu.common.protocol import JanusMode, JanusPacket
-from janus_tpu.models.vad import VoiceActivityDetector
 from janus_tpu.native import RingBuffer
 from janus_tpu.runtime.codec import SemanticEncoder
 from janus_tpu.runtime.emotion import api_mode_to_protocol
@@ -53,6 +52,7 @@ class Session:
     vad_floor: float = 1e-3
     chunks_in: int = 0
     phrases_encoded: int = 0
+    paused: bool = False  # snapshot in progress: push_audio refuses
 
 
 class SessionManager:
@@ -63,15 +63,18 @@ class SessionManager:
         cfg: Optional[JanusConfig] = None,
         encoder: Optional[SemanticEncoder] = None,
         on_packet: Optional[Callable[[str, JanusPacket], None]] = None,
+        vad_params=None,
     ) -> None:
         self.cfg = cfg or JanusConfig()
         self.encoder = encoder or SemanticEncoder(self.cfg)
         self.on_packet = on_packet
         self.sessions: Dict[str, Session] = {}
-        self._vad = VoiceActivityDetector(
-            self.cfg.vad, sample_rate=self.cfg.audio.sample_rate
+        # batched VAD: the learned spectral model when configured (and
+        # weights supplied), else the adaptive energy gate
+        self._vad_params = vad_params
+        self._use_model_vad = (
+            self.cfg.vad.backend == "model" and vad_params is not None
         )
-        # batched probability path reuses the same jitted impl
         self._chunk = self.cfg.audio.chunk_samples
 
     # -- session lifecycle -------------------------------------------------
@@ -97,8 +100,12 @@ class SessionManager:
     # -- ingestion (called from capture/socket threads) --------------------
 
     def push_audio(self, session_id: str, samples: np.ndarray) -> bool:
-        """Thread-safe: feed capture samples into the session's ring."""
-        return self.sessions[session_id].ring.push(samples)
+        """Thread-safe: feed capture samples into the session's ring.
+        Returns False (caller retries) while a snapshot is in progress."""
+        s = self.sessions[session_id]
+        if s.paused:
+            return False
+        return s.ring.push(samples)
 
     # -- the batched tick --------------------------------------------------
 
@@ -129,11 +136,19 @@ class SessionManager:
         # one jitted call scores every session's chunk
         batch = jnp.asarray(np.stack(chunks))
         floors = jnp.asarray(np.asarray([s.vad_floor for s in active], np.float32))
-        probs, new_floors = energy_gate_prob(
-            decimate_48k_to_16k(batch), floors, self.cfg.vad.energy_gate_rms
-        )
-        probs = np.asarray(probs)
-        new_floors = np.asarray(new_floors)
+        if self._use_model_vad:
+            from janus_tpu.models.vad import vad_model_prob
+
+            probs = np.asarray(
+                vad_model_prob(self._vad_params, decimate_48k_to_16k(batch))
+            )
+            new_floors = np.asarray(floors)
+        else:
+            probs, new_floors = energy_gate_prob(
+                decimate_48k_to_16k(batch), floors, self.cfg.vad.energy_gate_rms
+            )
+            probs = np.asarray(probs)
+            new_floors = np.asarray(new_floors)
 
         phrases: List[Tuple[Session, np.ndarray]] = []
         for s, chunk, p, fl in zip(active, chunks, probs, new_floors):
@@ -201,9 +216,17 @@ class SessionManager:
         the reference)."""
         snap: Dict[str, Dict] = {}
         for sid, s in self.sessions.items():
-            ring_audio = s.ring.pop(len(s.ring)) if len(s.ring) else None
-            if ring_audio is not None:
-                s.ring.push(ring_audio)  # non-destructive
+            # pause ingestion so the drain/refill below is atomic w.r.t.
+            # concurrent push_audio (capture threads see False and retry)
+            s.paused = True
+            try:
+                ring_audio = s.ring.pop(len(s.ring)) if len(s.ring) else None
+                if ring_audio is not None and not s.ring.push(ring_audio):
+                    # cannot happen while paused (ring was just drained),
+                    # but never lose audio: carry it in the snapshot only
+                    logger.error("ring refill failed for %s", sid)
+            finally:
+                s.paused = False
             seg = s.segmenter
             snap[sid] = {
                 "mode": s.mode,

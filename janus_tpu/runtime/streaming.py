@@ -52,51 +52,66 @@ class StreamingTranscriber:
         window_seconds: float = 4.0,
         stride_seconds: float = 1.0,
         sample_rate: int = 48_000,
+        max_phrase_seconds: float = 120.0,
     ) -> None:
         self.encoder = encoder
         self.sample_rate = sample_rate
         self.window = int(window_seconds * sample_rate)
         self.stride = int(stride_seconds * sample_rate)
+        self.max_keep = int(max_phrase_seconds * sample_rate)
         self._buffer: List[np.ndarray] = []
         self._buffered = 0
         self._since_last = 0
-        self._committed = ""   # text attributed to audio that left the window
+        self._committed_samples = 0  # prefix already transcribed into _committed
+        self._committed = ""
         self._partial = ""
 
     @property
     def partial(self) -> str:
         return self._partial
 
+    def _audio(self) -> np.ndarray:
+        return np.concatenate(self._buffer) if self._buffer else np.empty(0, np.float32)
+
     def push(self, chunk: np.ndarray) -> Optional[str]:
         """Feed one capture chunk; returns an updated partial transcript
-        when a stride boundary was crossed, else None."""
+        when a stride boundary was crossed, else None.
+
+        Work per stride is O(window + stride): only audio *newly* aged out
+        of the window is transcribed into the committed prefix; the window
+        hypothesis covers the rest.
+        """
         self._buffer.append(np.asarray(chunk, dtype=np.float32))
         self._buffered += len(chunk)
+        # bound memory for pathological phrase lengths (finalize degrades
+        # gracefully to the retained suffix)
+        while self._buffered > self.max_keep and len(self._buffer) > 1:
+            dropped = self._buffer.pop(0)
+            self._buffered -= len(dropped)
+            self._committed_samples = max(0, self._committed_samples - len(dropped))
         self._since_last += len(chunk)
         if self._since_last < self.stride:
             return None
         self._since_last = 0
 
-        audio = np.concatenate(self._buffer)
-        if len(audio) > self.window:
-            # text for audio aging out of the window becomes committed
-            aged = audio[: len(audio) - self.window]
-            if len(aged) >= self.stride:
-                committed_hyp = self.encoder.encode_batch([aged])[0]["text"]
-                self._committed = committed_hyp
-            window_audio = audio[-self.window:]
-        else:
-            window_audio = audio
-        hyp = self.encoder.encode_batch([window_audio])[0]["text"]
+        audio = self._audio()
+        commit_target = max(0, len(audio) - self.window)
+        if commit_target - self._committed_samples >= self.stride:
+            # transcribe ONLY the newly aged span
+            aged = audio[self._committed_samples : commit_target]
+            aged_hyp = self.encoder.encode_batch([aged])[0]["text"]
+            self._committed = merge_transcripts(self._committed, aged_hyp)
+            self._committed_samples = commit_target
+        hyp = self.encoder.encode_batch([audio[commit_target:]])[0]["text"]
         self._partial = merge_transcripts(self._committed, hyp)
         return self._partial
 
     def finalize(self) -> str:
-        """Full-phrase transcript (identical to the non-streaming path)."""
+        """Full-phrase transcript over the retained audio (identical to the
+        non-streaming path for phrases within ``max_phrase_seconds``)."""
         if not self._buffer:
             return ""
-        audio = np.concatenate(self._buffer)
-        final = self.encoder.encode_batch([audio])[0]["text"]
+        final = self.encoder.encode_batch([self._audio()])[0]["text"]
         self.reset()
         return final
 
@@ -104,5 +119,6 @@ class StreamingTranscriber:
         self._buffer = []
         self._buffered = 0
         self._since_last = 0
+        self._committed_samples = 0
         self._committed = ""
         self._partial = ""

@@ -10,9 +10,10 @@ degradation ladder all mirror the reference synthesizer exactly
   the reference's, including its dead 'Low' branches
 - semantic failure → fast TTS; fast-TTS failure → b''
 
-The synthesis itself runs the in-framework TTS transformer + iSTFT vocoder
-under one jitted program per text-length bucket, instead of a cloud call.
-Output is 48 kHz mono int16 PCM bytes ready for playback.
+The synthesis itself runs the in-framework TTS transformer + iSTFT
+vocoder as one jitted program (text always padded to the model's trained
+length — the decoder-only TTS is position-sensitive), instead of a cloud
+call. Output is 48 kHz mono int16 PCM bytes ready for playback.
 """
 
 from __future__ import annotations
@@ -77,7 +78,7 @@ class Synthesizer:
         if reference_audio_path:
             self._load_reference_audio(reference_audio_path)
 
-        self._synth_jit = jax.jit(self._synth_impl, static_argnames=("text_len",))
+        self._synth_jit = jax.jit(self._synth_impl)
 
     # -- voice cloning (reference: synthesizer.py:67-104) ------------------
 
@@ -117,7 +118,7 @@ class Synthesizer:
     # -- device path -------------------------------------------------------
 
     def _synth_impl(self, text_ids: jax.Array, emotion: jax.Array,
-                    speaker: Optional[jax.Array], text_len: int
+                    speaker: Optional[jax.Array]
                     ) -> Tuple[jax.Array, jax.Array]:
         import math
 
@@ -147,7 +148,7 @@ class Synthesizer:
         if self._speaker_vec is not None:
             speaker = jnp.asarray(self._speaker_vec)[None, :]
         wav, n_samples = self._synth_jit(
-            jnp.asarray(padded), jnp.asarray(emo), speaker, text_len=bucket
+            jnp.asarray(padded), jnp.asarray(emo), speaker
         )
         n = int(np.asarray(n_samples)[0]) if np.ndim(n_samples) else int(n_samples)
         pcm = np.asarray(wav[0])[: max(n, 0)]

@@ -81,7 +81,7 @@ def main_loop(
                     break
                 continue
 
-            is_speech = non_vad or vad.is_speech(chunk)
+            is_speech = vad.is_speech(chunk) or non_vad
             r = segmenter.push_streaming(chunk, is_speech)
             if r.event is SegmenterEvent.PHRASE_READY:
                 sent += _process(encoder, link, cfg, r.phrase, mode)
