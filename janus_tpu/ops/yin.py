@@ -124,6 +124,10 @@ def yin_frame(
 
     period = _quadratic_interp(y, pos)
     pitch = jnp.where(period > 0.0, sample_rate / jnp.maximum(period, 1e-6), 0.0)
+    if fmin is not None or fmax is not None:
+        # bounded mode: a clipped fallback min is not a pitch estimate
+        # (near-silent frames would otherwise report f=sr/p_lo as voiced)
+        pitch = jnp.where(has_cand, pitch, 0.0)
     return pitch
 
 
