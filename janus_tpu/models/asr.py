@@ -112,15 +112,23 @@ def init_asr(key: jax.Array | int, cfg: ASRConfig) -> Params:
 # --------------------------------------------------------------------------
 
 def _attention(p: Params, x: jax.Array, num_heads: int,
-               mask: Optional[jax.Array] = None) -> jax.Array:
+               mask: Optional[jax.Array] = None,
+               sp_mesh: Optional[jax.sharding.Mesh] = None) -> jax.Array:
     from janus_tpu.ops.flash import flash_attention
 
     q = split_heads(linear(x, p["q"]["w"], p["q"]["b"]), num_heads)
     k = split_heads(linear(x, p["k"]["w"], p["k"].get("b")), num_heads)
     v = split_heads(linear(x, p["v"]["w"], p["v"]["b"]), num_heads)
-    # encoder self-attention is unmasked -> Pallas fused kernel on TPU
-    # (transparently the XLA path elsewhere)
-    o = merge_heads(flash_attention(q, k, v, mask=mask))
+    if sp_mesh is not None:
+        # sequence-parallel: mel frames sharded over the "seq" axis, exact
+        # attention via the ppermute KV ring (ICI-neighbor traffic only)
+        from janus_tpu.parallel.ring_attention import ring_attention
+
+        o = merge_heads(ring_attention(q, k, v, sp_mesh, axis_name="seq"))
+    else:
+        # encoder self-attention is unmasked -> Pallas fused kernel on TPU
+        # (transparently the XLA path elsewhere)
+        o = merge_heads(flash_attention(q, k, v, mask=mask))
     return linear(o, p["out"]["w"], p["out"]["b"])
 
 
@@ -128,19 +136,33 @@ def _mlp(p: Params, x: jax.Array) -> jax.Array:
     return linear(gelu(linear(x, p["fc1"]["w"], p["fc1"]["b"])), p["fc2"]["w"], p["fc2"]["b"])
 
 
-def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array) -> jax.Array:
+def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
+                 sp_mesh: Optional[jax.sharding.Mesh] = None) -> jax.Array:
     """``mel[..., T, n_mels] -> enc[..., T//2, d_model]``.
 
     T must be even and ≤ 2·max_source_positions. Canonically T = 3000
     (30 s at hop 160), giving 1500 encoder positions.
+
+    With ``sp_mesh`` (a mesh carrying a "seq" axis), long mel sequences run
+    sequence-parallel: GSPMD shards the conv stem / norms / MLPs over time
+    (handling the conv halos), and self-attention uses the exact ppermute
+    KV ring instead of an all-gather — the chunk-boundary-context-over-ICI
+    design of BASELINE config 5.
     """
     enc = params["encoder"]
     x = gelu(conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], stride=1, padding=1))
     x = gelu(conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2, padding=1))
     t = x.shape[-2]
     x = x + sinusoid_positions(t, cfg.d_model).astype(x.dtype)
+    if sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(sp_mesh, P(None, "seq", None))
+        )
     for blk in enc["blocks"]:
-        x = x + _attention(blk["attn"], layer_norm(x, **blk["attn_ln"]), cfg.num_heads)
+        x = x + _attention(blk["attn"], layer_norm(x, **blk["attn_ln"]),
+                           cfg.num_heads, sp_mesh=sp_mesh)
         x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
     return layer_norm(x, **enc["ln_post"])
 

@@ -166,3 +166,19 @@ def test_tts_train_step():
     for _ in range(3):
         state, m2 = trainer.train_step(state, text, emo, mels, mask)
     assert m2["loss"] < m1["loss"]
+
+
+def test_sequence_parallel_encoder_matches_dense():
+    """encode_audio with a seq mesh (ring attention + GSPMD conv halos)
+    must match the single-device encoder."""
+    cfg = small_asr_cfg()
+    params = asr_mod.init_asr(0, cfg)
+    mesh = build_mesh(MeshConfig(data=1, model=1, seq=8))
+
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+    ref = np.asarray(asr_mod.encode_audio(params, cfg, mel))
+    out = np.asarray(
+        jax.jit(lambda m: asr_mod.encode_audio(params, cfg, m, sp_mesh=mesh))(mel)
+    )
+    np.testing.assert_allclose(out, ref, atol=3e-4)
