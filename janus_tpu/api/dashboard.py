@@ -60,6 +60,8 @@ DASHBOARD_HTML = """<!doctype html>
   </div>
   <div class="card">
     <h2>Packets <span class="dim" id="totals"></span></h2>
+    <canvas id="chart" width="360" height="60"
+            style="width:100%;height:60px;background:#0e1428;border-radius:6px"></canvas>
     <ul id="packets"></ul>
   </div>
 </div>
@@ -68,6 +70,24 @@ const wsUrl = (location.protocol === "https:" ? "wss://" : "ws://") +
               location.host + "/ws/janus";
 let ws = null, state = {is_streaming:false, is_recording:false};
 let totalBytes = 0, totalPackets = 0;
+const history = [];  // last 60 packet sizes (the telemetry step-line)
+function drawChart() {
+  const c = document.getElementById("chart");
+  const ctx = c.getContext("2d");
+  ctx.clearRect(0, 0, c.width, c.height);
+  if (!history.length) return;
+  const max = Math.max(...history, 1);
+  const w = c.width / Math.max(history.length, 1);
+  ctx.strokeStyle = "#7aa2ff"; ctx.lineWidth = 1.5;
+  ctx.beginPath();
+  history.forEach((b, i) => {
+    const y = c.height - 4 - (b / max) * (c.height - 10);
+    if (i === 0) ctx.moveTo(i * w, y);
+    else { ctx.lineTo(i * w, y); }         // step-line like the reference
+    ctx.lineTo((i + 1) * w, y);
+  });
+  ctx.stroke();
+}
 
 function connect() {
   ws = new WebSocket(wsUrl);
@@ -90,6 +110,8 @@ function connect() {
         (m.avg_pitch_hz ? ` <span class=dim>${m.avg_pitch_hz.toFixed(0)}Hz</span>` : ""));
     } else if (m.type === "packet_summary") {
       totalBytes += m.bytes; totalPackets += 1;
+      history.push(Number(m.bytes)); if (history.length > 60) history.shift();
+      drawChart();
       document.getElementById("totals").textContent =
         ` ${totalPackets} pkts / ${totalBytes} B`;
       addItem("packets", `${Number(m.bytes)}B [${esc(m.mode)}]` +

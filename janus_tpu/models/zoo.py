@@ -26,6 +26,7 @@ class ModelBundle:
     asr_params: Optional[Any] = None
     tts_params: Optional[Any] = None
     vocoder_params: Optional[Any] = None
+    speaker_params: Optional[Any] = None
 
 
 def demo_available(ckpt_dir: str = _CKPT_DIR) -> bool:
@@ -59,4 +60,7 @@ def load_demo(ckpt_dir: str = _CKPT_DIR,
     voc_path = os.path.join(ckpt_dir, "demo_vocoder.npz")
     if os.path.exists(voc_path):
         bundle.vocoder_params = load_npz_params(voc_path)
+    spk_path = os.path.join(ckpt_dir, "demo_speaker.npz")
+    if os.path.exists(spk_path):
+        bundle.speaker_params = load_npz_params(spk_path)
     return bundle

@@ -121,7 +121,9 @@ def main() -> None:
         bundle = load_demo(base=cfg)
         cfg = bundle.config
         synthesizer = Synthesizer(cfg, tts_params=bundle.tts_params,
-                                  vocoder_params=bundle.vocoder_params)
+                                  vocoder_params=bundle.vocoder_params,
+                                  speaker_params=bundle.speaker_params,
+                                  reference_audio_path=cfg.server.reference_audio_path)
     played = receive_loop(cfg, AudioService(), synthesizer=synthesizer,
                           max_idle_seconds=args.idle_exit)
     logger.info("done: %d packets played", played)

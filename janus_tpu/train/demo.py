@@ -140,21 +140,55 @@ def demo_vocoder_config():
                          sample_rate=16_000)
 
 
+ENROLLMENT_PHRASE = "alpha bravo"  # fixed utterance used to enroll a voice
+
+
+def demo_speaker_vectors(cfg=None, spk_seed: int = 42):
+    """(speaker_encoder_params, [vec per synthetic speaker]). The encoder is
+    deterministic (fixed seed), so serving recomputes identical embeddings
+    from any reference audio of the same timbre."""
+    import jax.numpy as jnp
+
+    from janus_tpu.models.speaker import init_speaker_encoder, speaker_embed
+    from janus_tpu.train.synthetic_task import SPEAKER_TIMBRES, render_text
+
+    cfg = cfg or demo_tts_config()
+    spk_params = init_speaker_encoder(spk_seed, n_mels=cfg.n_mels,
+                                      d_out=cfg.d_model)
+    vecs = []
+    for s in range(len(SPEAKER_TIMBRES)):
+        ref = render_text(ENROLLMENT_PHRASE, 16_000, seed=0, speaker=s)
+        vecs.append(np.asarray(speaker_embed(spk_params, jnp.asarray(ref),
+                                             n_mels=cfg.n_mels)))
+    return spk_params, vecs
+
+
 def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
-                   cfg=None, learning_rate: float = 1e-3, log_every: int = 100):
-    """Teacher-forced text->mel training on the tone language."""
+                   cfg=None, learning_rate: float = 1e-3, log_every: int = 100,
+                   multi_speaker: bool = True):
+    """Teacher-forced text->mel training on the tone language; with
+    ``multi_speaker`` the model is conditioned on speaker embeddings from
+    the fixed enrollment encoder (functional voice cloning)."""
     from janus_tpu.models import tts as tts_mod
     from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
     from janus_tpu.train.losses import tts_loss
-    from janus_tpu.train.synthetic_task import mel_targets_for, sample_text
+    from janus_tpu.train.synthetic_task import (
+        SPEAKER_TIMBRES,
+        mel_targets_for,
+        sample_text,
+    )
 
     cfg = cfg or demo_tts_config()
     tok = ByteTokenizer()
     mesh = build_mesh(MeshConfig(data=1, model=1, seq=1))
     params = tts_mod.init_tts(seed, cfg, text_vocab=tok.vocab_size)
+    n_speakers = len(SPEAKER_TIMBRES) if multi_speaker else 1
+    _spk_params, spk_vecs = demo_speaker_vectors(cfg)
+    spk_matrix = np.stack(spk_vecs)  # [n_speakers, d]
 
-    def loss_fn(p, text, emo, mels, mask):
-        return tts_loss(p, cfg, text, emo, mels, mask, text_vocab=tok.vocab_size)
+    def loss_fn(p, text, emo, mels, mask, spk):
+        return tts_loss(p, cfg, text, emo, mels, mask, speaker=spk,
+                        text_vocab=tok.vocab_size)
 
     trainer = Trainer(loss_fn, mesh, TTS_PARTITION_RULES, learning_rate=learning_rate)
     state = trainer.create_state(params)
@@ -165,13 +199,16 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     t0 = time.time()
     for step in range(steps):
         texts = [sample_text(rng) for _ in range(batch)]
+        speakers = rng.integers(0, n_speakers, batch).tolist()
         text_ids = np.full((batch, cfg.max_text_tokens), tok.pad, np.int32)
         for i, t in enumerate(texts):
             ids = tok.encode(t)[: cfg.max_text_tokens]
             text_ids[i, : len(ids)] = ids
         emo = np.zeros((batch,), np.int32)
-        mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction, max_groups)
-        state, metrics = trainer.train_step(state, text_ids, emo, mels, mask)
+        mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction,
+                                     max_groups, speakers=speakers)
+        spk = spk_matrix[speakers].astype(np.float32)
+        state, metrics = trainer.train_step(state, text_ids, emo, mels, mask, spk)
         history.append(float(metrics["loss"]))
         if log_every and step % log_every == 0:
             logger.info("tts step %d loss=%.4f (%.1fs)", step, metrics["loss"],
@@ -212,7 +249,8 @@ def train_demo_vocoder(steps: int = 600, batch: int = 8, seed: int = 0,
         wavs = np.zeros((batch, t_samples), np.float32)
         for i in range(batch):
             w = render_text(sample_text(rng), cfg.sample_rate,
-                            seed=int(rng.integers(1 << 30)))
+                            seed=int(rng.integers(1 << 30)),
+                            speaker=int(rng.integers(0, 4)))
             wavs[i, : min(len(w), t_samples)] = w[:t_samples]
         mel = np.asarray(log_mel_spectrogram(
             jnp.asarray(wavs), cfg.sample_rate, 400, cfg.hop_length, n_mels

@@ -45,10 +45,24 @@ def char_frequency(c: str) -> float:
     return BASE_F0 + F0_STEP * idx
 
 
+# "Speakers": harmonic gain profiles (timbres) applied on top of the base
+# (amp, amp/2, amp/4) stack. Speaker 0 = identity = the original voice, so
+# existing checkpoints keep their training distribution.
+SPEAKER_TIMBRES = (
+    (1.0, 1.0, 1.0),    # default voice
+    (1.0, 0.2, 2.4),    # hollow (3rd-harmonic heavy)
+    (0.4, 2.0, 0.8),    # nasal (2nd-harmonic dominant)
+    (1.0, 0.0, 0.0),    # pure tone
+)
+
+
 def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
-                noise: float = 0.002, seed: int = 0) -> np.ndarray:
-    """Deterministic waveform for a text string."""
+                noise: float = 0.002, seed: int = 0,
+                speaker: int = 0) -> np.ndarray:
+    """Deterministic waveform for a text string. ``speaker`` selects a
+    harmonic timbre profile (the corpus's notion of voice identity)."""
     rng = np.random.default_rng(seed)
+    h1, h2, h3 = SPEAKER_TIMBRES[speaker % len(SPEAKER_TIMBRES)]
     segs: List[np.ndarray] = []
     n_char = int(CHAR_SECONDS * sample_rate)
     n_gap = int(WORD_GAP_SECONDS * sample_rate)
@@ -59,9 +73,9 @@ def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
             f0 = char_frequency(c)
             t = np.arange(n_char) / sample_rate
             x = (
-                amp * np.sin(2 * np.pi * f0 * t)
-                + (amp / 2) * np.sin(2 * np.pi * 2 * f0 * t)
-                + (amp / 4) * np.sin(2 * np.pi * 3 * f0 * t)
+                amp * h1 * np.sin(2 * np.pi * f0 * t)
+                + (amp / 2) * h2 * np.sin(2 * np.pi * 2 * f0 * t)
+                + (amp / 4) * h3 * np.sin(2 * np.pi * 3 * f0 * t)
             )
             # short fade to avoid clicks (keeps the spectrum clean)
             ramp = min(32, n_char // 4)
@@ -123,7 +137,8 @@ def sample_batch(
 
 def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
                     max_groups: int, sample_rate: int = 16_000,
-                    n_fft: int = 400, hop: int = 160
+                    n_fft: int = 400, hop: int = 160,
+                    speakers: Optional[List[int]] = None,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """TTS training targets: (mel_groups[B, S, r*n_mels], mask[B, S])."""
     import jax.numpy as jnp
@@ -131,10 +146,13 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
     from janus_tpu.ops.mel import log_mel_spectrogram
 
     b = len(texts)
+    if speakers is None:
+        speakers = [0] * b
     out = np.zeros((b, max_groups, reduction * n_mels), dtype=np.float32)
     mask = np.zeros((b, max_groups), dtype=np.float32)
     for i, text in enumerate(texts):
-        wav = render_text(text, sample_rate, seed=0)  # deterministic target
+        wav = render_text(text, sample_rate, seed=0,
+                          speaker=speakers[i])  # deterministic target
         mel = np.asarray(log_mel_spectrogram(
             jnp.asarray(wav), sample_rate, n_fft, hop, n_mels
         ))
