@@ -104,8 +104,19 @@ def evaluate_roundtrip(
         synth_cfg = synth_cfg.override(
             **{f"vocoder.{k}": v for k, v in vocoder_cfg.__dict__.items()}
         )
+    default_vec = None
+    if tts_params is not None:
+        # speaker-conditioned demo TTS: synthesize in the default voice
+        try:
+            from janus_tpu.train.demo import demo_speaker_vectors
+
+            _sp, vecs = demo_speaker_vectors(synth_cfg.tts)
+            default_vec = vecs[0]
+        except Exception:
+            pass
     synth = Synthesizer(synth_cfg, tts_params=tts_params,
-                        vocoder_params=vocoder_params)
+                        vocoder_params=vocoder_params,
+                        default_speaker_vec=default_vec)
     rt_hyps: List[str] = []
     for p in packets:
         audio_bytes = synth.synthesize(p)

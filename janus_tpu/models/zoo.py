@@ -27,6 +27,7 @@ class ModelBundle:
     tts_params: Optional[Any] = None
     vocoder_params: Optional[Any] = None
     speaker_params: Optional[Any] = None
+    default_speaker_vec: Optional[Any] = None
 
 
 def demo_available(ckpt_dir: str = _CKPT_DIR) -> bool:
@@ -63,4 +64,15 @@ def load_demo(ckpt_dir: str = _CKPT_DIR,
     spk_path = os.path.join(ckpt_dir, "demo_speaker.npz")
     if os.path.exists(spk_path):
         bundle.speaker_params = load_npz_params(spk_path)
+        # default voice = synthetic speaker 0's enrollment embedding
+        import jax.numpy as jnp
+
+        from janus_tpu.models.speaker import speaker_embed
+        from janus_tpu.train.demo import ENROLLMENT_PHRASE
+        from janus_tpu.train.synthetic_task import render_text
+
+        ref = render_text(ENROLLMENT_PHRASE, 16_000, seed=0, speaker=0)
+        bundle.default_speaker_vec = speaker_embed(
+            bundle.speaker_params, jnp.asarray(ref), n_mels=cfg.tts.n_mels
+        )
     return bundle

@@ -53,7 +53,12 @@ class Synthesizer:
         speaker_params=None,
         reference_audio_path: Optional[str] = None,
         rng_seed: int = 0,
+        default_speaker_vec=None,
     ) -> None:
+        """``default_speaker_vec`` is the voice used when no reference
+        audio is enrolled (speaker-conditioned TTS checkpoints are trained
+        with a vector in the [SPK] slot, so unconditioned generation is
+        off-distribution)."""
         self.cfg = cfg or JanusConfig()
         self.tokenizer = ByteTokenizer()
         self.tts_params = tts_params if tts_params is not None else tts_mod.init_tts(
@@ -72,6 +77,10 @@ class Synthesizer:
                                       d_out=self.cfg.tts.d_model)
         )
 
+        self._default_speaker_vec = (
+            np.asarray(default_speaker_vec, dtype=np.float32)
+            if default_speaker_vec is not None else None
+        )
         self._reference_audio_path = reference_audio_path
         self._reference_audio_mtime: Optional[float] = None
         self._speaker_vec: Optional[jax.Array] = None
@@ -147,6 +156,8 @@ class Synthesizer:
         speaker = None
         if self._speaker_vec is not None:
             speaker = jnp.asarray(self._speaker_vec)[None, :]
+        elif self._default_speaker_vec is not None:
+            speaker = jnp.asarray(self._default_speaker_vec)[None, :]
         wav, n_samples = self._synth_jit(
             jnp.asarray(padded), jnp.asarray(emo), speaker
         )

@@ -123,6 +123,7 @@ def main() -> None:
         synthesizer = Synthesizer(cfg, tts_params=bundle.tts_params,
                                   vocoder_params=bundle.vocoder_params,
                                   speaker_params=bundle.speaker_params,
+                                  default_speaker_vec=bundle.default_speaker_vec,
                                   reference_audio_path=cfg.server.reference_audio_path)
     played = receive_loop(cfg, AudioService(), synthesizer=synthesizer,
                           max_idle_seconds=args.idle_exit)
