@@ -137,7 +137,8 @@ def _mlp(p: Params, x: jax.Array) -> jax.Array:
 
 
 def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
-                 sp_mesh: Optional[jax.sharding.Mesh] = None) -> jax.Array:
+                 sp_mesh: Optional[jax.sharding.Mesh] = None,
+                 scan_layers: bool = False) -> jax.Array:
     """``mel[..., T, n_mels] -> enc[..., T//2, d_model]``.
 
     T must be even and ≤ 2·max_source_positions. Canonically T = 3000
@@ -160,10 +161,24 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(sp_mesh, P(None, "seq", None))
         )
-    for blk in enc["blocks"]:
-        x = x + _attention(blk["attn"], layer_norm(x, **blk["attn_ln"]),
-                           cfg.num_heads, sp_mesh=sp_mesh)
-        x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
+    if scan_layers and sp_mesh is None and len(enc["blocks"]) > 1:
+        # lax.scan over stacked block params: one compiled block body
+        # instead of L unrolled copies — essential for large-v3's 32
+        # layers, where the unrolled HLO dominates compile time
+        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *enc["blocks"])
+
+        def body(h, blk):
+            h = h + _attention(blk["attn"], layer_norm(h, **blk["attn_ln"]),
+                               cfg.num_heads)
+            h = h + _mlp(blk["mlp"], layer_norm(h, **blk["mlp_ln"]))
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    else:
+        for blk in enc["blocks"]:
+            x = x + _attention(blk["attn"], layer_norm(x, **blk["attn_ln"]),
+                               cfg.num_heads, sp_mesh=sp_mesh)
+            x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
     return layer_norm(x, **enc["ln_post"])
 
 

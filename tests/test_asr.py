@@ -184,3 +184,16 @@ def test_tokenizer_roundtrip():
     assert tok.vocab_size == 261
     ids = tok.encode("hi") + [tok.eot, tok.eot]
     assert tok.decode(ids) == "hi"
+
+
+def test_scan_layers_matches_unrolled():
+    cfg = ASRConfig(
+        n_mels=16, d_model=64, encoder_layers=3, decoder_layers=1, num_heads=4,
+        vocab_size=261, max_source_positions=64, max_target_positions=16,
+    )
+    params = asr.init_asr(0, cfg)
+    rng = np.random.default_rng(9)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+    ref = np.asarray(asr.encode_audio(params, cfg, mel))
+    out = np.asarray(asr.encode_audio(params, cfg, mel, scan_layers=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
