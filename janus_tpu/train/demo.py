@@ -172,6 +172,7 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     from janus_tpu.models import tts as tts_mod
     from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
     from janus_tpu.train.losses import tts_loss
+    from janus_tpu.models.tts import EMOTIONS, emotion_id
     from janus_tpu.train.synthetic_task import (
         SPEAKER_TIMBRES,
         mel_targets_for,
@@ -200,13 +201,15 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     for step in range(steps):
         texts = [sample_text(rng) for _ in range(batch)]
         speakers = rng.integers(0, n_speakers, batch).tolist()
+        emotions = [EMOTIONS[int(i)] for i in rng.integers(0, len(EMOTIONS), batch)]
         text_ids = np.full((batch, cfg.max_text_tokens), tok.pad, np.int32)
         for i, t in enumerate(texts):
             ids = tok.encode(t)[: cfg.max_text_tokens]
             text_ids[i, : len(ids)] = ids
-        emo = np.zeros((batch,), np.int32)
+        emo = np.asarray([emotion_id(e) for e in emotions], np.int32)
         mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction,
-                                     max_groups, speakers=speakers)
+                                     max_groups, speakers=speakers,
+                                     emotions=emotions)
         spk = spk_matrix[speakers].astype(np.float32)
         state, metrics = trainer.train_step(state, text_ids, emo, mels, mask, spk)
         history.append(float(metrics["loss"]))
@@ -248,9 +251,12 @@ def train_demo_vocoder(steps: int = 600, batch: int = 8, seed: int = 0,
     for step in range(steps):
         wavs = np.zeros((batch, t_samples), np.float32)
         for i in range(batch):
+            from janus_tpu.models.tts import EMOTIONS as _EMOS
+
             w = render_text(sample_text(rng), cfg.sample_rate,
                             seed=int(rng.integers(1 << 30)),
-                            speaker=int(rng.integers(0, 4)))
+                            speaker=int(rng.integers(0, 4)),
+                            emotion=_EMOS[int(rng.integers(0, len(_EMOS)))])
             wavs[i, : min(len(w), t_samples)] = w[:t_samples]
         mel = np.asarray(log_mel_spectrogram(
             jnp.asarray(wavs), cfg.sample_rate, 400, cfg.hop_length, n_mels

@@ -56,13 +56,36 @@ SPEAKER_TIMBRES = (
 )
 
 
+# Emotion → (f0 scale, amplitude scale): how the corpus *renders* the
+# emotion tags of the wire protocol (reference tags:
+# backend/services/synthesizer.py:158-175). Neutral is identity so
+# emotion-less checkpoints keep their distribution.
+EMOTION_RENDERING = {
+    "neutral":    (1.00, 1.00),
+    "excited":    (1.30, 1.60),
+    "joyful":     (1.30, 1.00),
+    "whispering": (1.00, 0.35),
+    "shouting":   (1.00, 1.80),
+    "sad":        (0.80, 0.70),
+    "relaxed":    (0.85, 1.00),
+    "panicked":   (1.45, 1.60),
+    "serious":    (0.85, 1.10),
+    "calm":       (0.90, 0.85),
+    "angry":      (1.10, 1.70),
+    "auto":       (1.00, 1.00),
+}
+
+
 def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
                 noise: float = 0.002, seed: int = 0,
-                speaker: int = 0) -> np.ndarray:
+                speaker: int = 0, emotion: str = "neutral") -> np.ndarray:
     """Deterministic waveform for a text string. ``speaker`` selects a
-    harmonic timbre profile (the corpus's notion of voice identity)."""
+    harmonic timbre profile (voice identity); ``emotion`` scales F0 and
+    amplitude per :data:`EMOTION_RENDERING`."""
     rng = np.random.default_rng(seed)
     h1, h2, h3 = SPEAKER_TIMBRES[speaker % len(SPEAKER_TIMBRES)]
+    f0_scale, amp_scale = EMOTION_RENDERING.get(emotion, (1.0, 1.0))
+    amp = amp * amp_scale
     segs: List[np.ndarray] = []
     n_char = int(CHAR_SECONDS * sample_rate)
     n_gap = int(WORD_GAP_SECONDS * sample_rate)
@@ -70,7 +93,7 @@ def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
         if w > 0:
             segs.append(np.zeros(n_gap, dtype=np.float32))
         for c in word:
-            f0 = char_frequency(c)
+            f0 = char_frequency(c) * f0_scale
             t = np.arange(n_char) / sample_rate
             x = (
                 amp * h1 * np.sin(2 * np.pi * f0 * t)
@@ -139,6 +162,7 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
                     max_groups: int, sample_rate: int = 16_000,
                     n_fft: int = 400, hop: int = 160,
                     speakers: Optional[List[int]] = None,
+                    emotions: Optional[List[str]] = None,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """TTS training targets: (mel_groups[B, S, r*n_mels], mask[B, S])."""
     import jax.numpy as jnp
@@ -148,11 +172,13 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
     b = len(texts)
     if speakers is None:
         speakers = [0] * b
+    if emotions is None:
+        emotions = ["neutral"] * b
     out = np.zeros((b, max_groups, reduction * n_mels), dtype=np.float32)
     mask = np.zeros((b, max_groups), dtype=np.float32)
     for i, text in enumerate(texts):
-        wav = render_text(text, sample_rate, seed=0,
-                          speaker=speakers[i])  # deterministic target
+        wav = render_text(text, sample_rate, seed=0, speaker=speakers[i],
+                          emotion=emotions[i])  # deterministic target
         mel = np.asarray(log_mel_spectrogram(
             jnp.asarray(wav), sample_rate, n_fft, hop, n_mels
         ))
