@@ -188,11 +188,37 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
 
 class DecodeState(NamedTuple):
     """Per-layer self-attention caches plus per-layer precomputed
-    cross-attention K/V from the encoder output."""
+    cross-attention K/V from the encoder output.
 
-    self_caches: Tuple[KVCache, ...]
-    cross_k: Tuple[jax.Array, ...]   # each [..., H, T_enc, Dh]
-    cross_v: Tuple[jax.Array, ...]
+    Two layouts share this container:
+
+    - **unrolled** (default): tuples of per-layer leaves;
+    - **scan** (``scan_layers=True``): one stacked :class:`KVCache` whose
+      leaves carry a leading layer axis, and ``cross_k``/``cross_v`` as
+      single ``[L, ..., H, T_enc, Dh]`` arrays — the layout ``lax.scan``
+      consumes. Deep decoders (large-v3: 32 layers) compile one block
+      body instead of 32 unrolled copies.
+    """
+
+    self_caches: "Tuple[KVCache, ...] | KVCache"
+    cross_k: "Tuple[jax.Array, ...] | jax.Array"   # each [..., H, T_enc, Dh]
+    cross_v: "Tuple[jax.Array, ...] | jax.Array"
+
+    @property
+    def stacked(self) -> bool:
+        return isinstance(self.self_caches, KVCache)
+
+    @property
+    def fill(self) -> jax.Array:
+        """Per-lane fill count ``[...]`` (layer 0; layers are in lockstep)."""
+        if self.stacked:
+            return self.self_caches.length[0]
+        return self.self_caches[0].length
+
+
+def _stack_blocks(blocks: List[Params]) -> Params:
+    """List of per-layer param trees → one tree with leading layer axis."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
 
 
 def _precompute_cross_kv(params: Params, cfg: ASRConfig, enc: jax.Array) -> Tuple:
@@ -205,11 +231,27 @@ def _precompute_cross_kv(params: Params, cfg: ASRConfig, enc: jax.Array) -> Tupl
 
 
 def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
-                      max_len: Optional[int] = None, dtype=jnp.float32) -> DecodeState:
+                      max_len: Optional[int] = None, dtype=jnp.float32,
+                      scan_layers: bool = False) -> DecodeState:
     batch_shape = enc.shape[:-2]
     if max_len is None:
         max_len = cfg.max_target_positions
     head_dim = cfg.d_model // cfg.num_heads
+    if scan_layers:
+        cache = KVCache.create(
+            (cfg.decoder_layers,) + batch_shape, cfg.num_heads, max_len,
+            head_dim, dtype=dtype,
+        )
+        stacked = _stack_blocks(params["decoder"]["blocks"])
+
+        def per_layer_kv(blk):
+            p = blk["cross"]
+            k = split_heads(linear(enc, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
+            v = split_heads(linear(enc, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
+            return k, v
+
+        ck, cv = jax.vmap(per_layer_kv)(stacked)
+        return DecodeState(self_caches=cache, cross_k=ck, cross_v=cv)
     caches = tuple(
         KVCache.create(batch_shape, cfg.num_heads, max_len, head_dim, dtype=dtype)
         for _ in range(cfg.decoder_layers)
@@ -218,13 +260,47 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
     return DecodeState(self_caches=caches, cross_k=ck, cross_v=cv)
 
 
+def _decoder_layer(
+    blk: Params, cfg: ASRConfig, x: jax.Array, cache: KVCache,
+    cross_k: jax.Array, cross_v: jax.Array, t_new: int,
+) -> Tuple[jax.Array, KVCache]:
+    """One decoder block: cached self-attn → cross-attn → MLP."""
+    # self-attention with cache append
+    h = layer_norm(x, **blk["attn_ln"])
+    p = blk["attn"]
+    q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
+    k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
+    v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
+    cache = cache.append_lockstep(k, v)
+    mask = cache.valid_mask(t_new, causal=True)
+    x = x + linear(
+        merge_heads(attend(q, cache.k, cache.v, mask)),
+        p["out"]["w"], p["out"]["b"],
+    )
+
+    # cross-attention over the (static) encoder sequence
+    h = layer_norm(x, **blk["cross_ln"])
+    pc = blk["cross"]
+    qc = split_heads(linear(h, pc["q"]["w"], pc["q"]["b"]), cfg.num_heads)
+    x = x + linear(
+        merge_heads(attend(qc, cross_k, cross_v)),
+        pc["out"]["w"], pc["out"]["b"],
+    )
+
+    x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
+    return x, cache
+
+
 def _decoder_forward(
     params: Params, cfg: ASRConfig, tokens: jax.Array, pos_offset: jax.Array,
     state: DecodeState,
 ) -> Tuple[jax.Array, DecodeState]:
     """Run ``tokens[..., T_new]`` through the decoder, appending to caches.
 
-    Returns logits ``[..., T_new, vocab]`` and the updated state.
+    Returns logits ``[..., T_new, vocab]`` and the updated state. Dispatches
+    on the state layout: unrolled per-layer python loop, or one
+    ``lax.scan`` block body when the state was built with
+    ``scan_layers=True`` (see :class:`DecodeState`).
     """
     dec = params["decoder"]
     t_new = tokens.shape[-1]
@@ -232,38 +308,32 @@ def _decoder_forward(
     x = embedding_lookup(dec["token_emb"], tokens)
     x = x + embedding_lookup(dec["pos_emb"], positions)
 
-    new_caches: List[KVCache] = []
-    for i, blk in enumerate(dec["blocks"]):
-        # self-attention with cache append
-        h = layer_norm(x, **blk["attn_ln"])
-        p = blk["attn"]
-        q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
-        k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
-        v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
-        cache = state.self_caches[i].append_lockstep(k, v)
-        mask = cache.valid_mask(t_new, causal=True)
-        x = x + linear(
-            merge_heads(attend(q, cache.k, cache.v, mask)),
-            p["out"]["w"], p["out"]["b"],
-        )
-        new_caches.append(cache)
+    if state.stacked:
+        stacked = _stack_blocks(dec["blocks"])
 
-        # cross-attention over the (static) encoder sequence
-        h = layer_norm(x, **blk["cross_ln"])
-        pc = blk["cross"]
-        qc = split_heads(linear(h, pc["q"]["w"], pc["q"]["b"]), cfg.num_heads)
-        x = x + linear(
-            merge_heads(attend(qc, state.cross_k[i], state.cross_v[i])),
-            pc["out"]["w"], pc["out"]["b"],
-        )
+        def body(h, layer):
+            blk, cache, ck, cv = layer
+            h, cache = _decoder_layer(blk, cfg, h, cache, ck, cv, t_new)
+            return h, cache
 
-        x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
+        x, new_caches = jax.lax.scan(
+            body, x, (stacked, state.self_caches, state.cross_k, state.cross_v)
+        )
+    else:
+        caches: List[KVCache] = []
+        for i, blk in enumerate(dec["blocks"]):
+            x, cache = _decoder_layer(
+                blk, cfg, x, state.self_caches[i],
+                state.cross_k[i], state.cross_v[i], t_new,
+            )
+            caches.append(cache)
+        new_caches = tuple(caches)
 
     x = layer_norm(x, **dec["ln"])
     logits = jnp.einsum(
         "...td,vd->...tv", x, dec["token_emb"], preferred_element_type=jnp.float32
     )
-    return logits, DecodeState(tuple(new_caches), state.cross_k, state.cross_v)
+    return logits, DecodeState(new_caches, state.cross_k, state.cross_v)
 
 
 def decoder_prefill(params: Params, cfg: ASRConfig, prompt: jax.Array,
@@ -278,7 +348,7 @@ def decoder_prefill(params: Params, cfg: ASRConfig, prompt: jax.Array,
 def decoder_step(params: Params, cfg: ASRConfig, token: jax.Array,
                  state: DecodeState) -> Tuple[jax.Array, DecodeState]:
     """One autoregressive step: ``token[...]`` → logits ``[..., vocab]``."""
-    pos = state.self_caches[0].length
+    pos = state.fill
     logits, state = _decoder_forward(params, cfg, token[..., None], pos, state)
     return logits[..., 0, :], state
 
@@ -295,6 +365,7 @@ def greedy_decode(
     eot_id: int,
     max_new: Optional[int] = None,
     cache_dtype=jnp.float32,
+    scan_layers: bool = False,
 ) -> jax.Array:
     """Batched greedy search.
 
@@ -303,12 +374,14 @@ def greedy_decode(
     each sequence finishes. Runs as a single ``lax.while_loop`` with early
     exit once every lane has emitted eot — one compiled program per
     (B, T_enc) bucket (reference behavior: greedy beam_size=1;
-    backend/services/transcriber.py:53-57).
+    backend/services/transcriber.py:53-57). ``scan_layers`` compiles one
+    decoder block body via ``lax.scan`` (for deep flagship decoders).
     """
     if max_new is None:
         max_new = cfg.max_decode_tokens
     cache_len = prompt.shape[-1] + max_new
-    state = init_decode_state(params, cfg, enc, max_len=cache_len, dtype=cache_dtype)
+    state = init_decode_state(params, cfg, enc, max_len=cache_len,
+                              dtype=cache_dtype, scan_layers=scan_layers)
     first_logits, state = decoder_prefill(params, cfg, prompt, state)
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 
@@ -363,7 +436,9 @@ def prepare_mel(audio_16k: jax.Array, cfg: ASRConfig,
 
 def transcribe_mel(params: Params, cfg: ASRConfig, mel: jax.Array,
                    prompt: jax.Array, eot_id: int,
-                   max_new: Optional[int] = None) -> jax.Array:
+                   max_new: Optional[int] = None,
+                   scan_layers: bool = False) -> jax.Array:
     """mel → token ids (jittable end-to-end)."""
-    enc = encode_audio(params, cfg, mel)
-    return greedy_decode(params, cfg, enc, prompt, eot_id, max_new)
+    enc = encode_audio(params, cfg, mel, scan_layers=scan_layers)
+    return greedy_decode(params, cfg, enc, prompt, eot_id, max_new,
+                         scan_layers=scan_layers)

@@ -1,0 +1,129 @@
+"""On-chip validation of the flagship (large-v3-class) encoder.
+
+The reference runs Whisper ``base.en`` through CTranslate2 on CPU
+(reference: backend/services/transcriber.py:23-27); the framework's
+flagship geometry is large-v3 (635M-param encoder). A straight-line
+32-layer unrolled compile previously overwhelmed the remote-compile
+tunnel, so this check compiles the ``scan_layers`` variant — one block
+body under ``lax.scan`` — which is the supported path for deep models.
+
+Usage::
+
+    python -m janus_tpu.tools.flagship_check [--layers N] [--batch B]
+
+Prints one JSON line: compile seconds, step milliseconds, encode RTF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override encoder layer count (default: full 32)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=3000,
+                    help="mel frames (3000 = canonical 30 s window)")
+    ap.add_argument("--decode", action="store_true",
+                    help="also run KV-cached greedy decode (scan decoder)")
+    ap.add_argument("--max-new", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache_dir = os.environ.get(
+        "JANUS_COMPILE_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from janus_tpu.common.config import ASRConfig
+    from janus_tpu.models import asr
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} (platform={dev.platform})")
+
+    cfg = ASRConfig.large_v3()
+    if args.layers is not None:
+        cfg = type(cfg)(**{**cfg.__dict__, "encoder_layers": args.layers})
+    log(f"geometry: d_model={cfg.d_model} layers={cfg.encoder_layers} "
+        f"heads={cfg.num_heads} n_mels={cfg.n_mels}")
+
+    t0 = time.time()
+    params = asr.init_asr(0, cfg)
+    enc_params = {"encoder": jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), params["encoder"])}
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(enc_params))
+    log(f"encoder params: {n_params/1e6:.1f}M (bf16, {time.time()-t0:.1f}s init)")
+
+    fn = jax.jit(lambda p, m: asr.encode_audio(p, cfg, m, scan_layers=True))
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((args.batch, args.frames, cfg.n_mels)),
+        dtype=jnp.bfloat16)
+
+    log("compiling encoder (scan_layers)...")
+    t0 = time.time()
+    out = fn(enc_params, mel)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    log(f"compile+first-run: {compile_s:.1f}s, out shape {out.shape}")
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        fn(enc_params, mel).block_until_ready()
+        times.append(time.perf_counter() - t0)
+        log(f"iter {i}: {times[-1]*1e3:.1f} ms")
+    step_ms = min(times) * 1e3
+    audio_s = args.batch * args.frames * cfg.hop_length / 16_000
+    result = {
+        "metric": "flagship_encode_rtf",
+        "value": round(min(times) / audio_s, 6),
+        "unit": "compute_s_per_audio_s",
+        "geometry": f"large-v3/{cfg.encoder_layers}L",
+        "params_m": round(n_params / 1e6, 1),
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(step_ms, 1),
+        "platform": dev.platform,
+    }
+
+    if args.decode:
+        dec_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        dfn = jax.jit(lambda p, m, pr: asr.transcribe_mel(
+            p, cfg, m, pr, eot_id=50257, max_new=args.max_new,
+            scan_layers=True))
+        prompt = jnp.zeros((args.batch, 1), dtype=jnp.int32)
+        log("compiling full transcribe (scan enc+dec)...")
+        t0 = time.time()
+        toks = dfn(dec_params, mel, prompt)
+        toks.block_until_ready()
+        result["transcribe_compile_s"] = round(time.time() - t0, 1)
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            dfn(dec_params, mel, prompt).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+            log(f"transcribe iter {i}: {ts[-1]*1e3:.1f} ms")
+        result["transcribe_rtf"] = round(min(ts) / audio_s, 6)
+
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,43 @@ def test_scan_layers_matches_unrolled():
     ref = np.asarray(asr.encode_audio(params, cfg, mel))
     out = np.asarray(asr.encode_audio(params, cfg, mel, scan_layers=True))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_scan_decoder_matches_unrolled():
+    """Full transcribe with scan_layers (stacked caches + lax.scan block
+    body, the large-v3 compile path) must emit the same tokens as the
+    unrolled decoder."""
+    cfg = ASRConfig(
+        n_mels=16, d_model=64, encoder_layers=2, decoder_layers=3, num_heads=4,
+        vocab_size=261, max_source_positions=64, max_target_positions=64,
+        max_decode_tokens=8,
+    )
+    params = asr.init_asr(0, cfg)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+    prompt = jnp.full((2, 1), tok.sot, dtype=jnp.int32)
+
+    ref = np.asarray(
+        asr.transcribe_mel(params, cfg, mel, prompt, tok.eot, max_new=8)
+    )
+    out = np.asarray(
+        jax.jit(
+            lambda m: asr.transcribe_mel(
+                params, cfg, m, prompt, tok.eot, max_new=8, scan_layers=True
+            )
+        )(mel)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    # logits parity too (token equality can mask drift): prefill + one step
+    enc = asr.encode_audio(params, cfg, mel)
+    st_u = asr.init_decode_state(params, cfg, enc, max_len=8)
+    st_s = asr.init_decode_state(params, cfg, enc, max_len=8, scan_layers=True)
+    lu, st_u = asr.decoder_prefill(params, cfg, prompt, st_u)
+    ls, st_s = asr.decoder_prefill(params, cfg, prompt, st_s)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu), atol=2e-4)
+    t = jnp.argmax(lu, axis=-1).astype(jnp.int32)
+    lu2, _ = asr.decoder_step(params, cfg, t, st_u)
+    ls2, _ = asr.decoder_step(params, cfg, t, st_s)
+    np.testing.assert_allclose(np.asarray(ls2), np.asarray(lu2), atol=2e-4)
