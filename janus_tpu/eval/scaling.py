@@ -54,7 +54,7 @@ class V5eRoofline:
 _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
     "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
-    "s8": 1, "u8": 1, "pred": 1,
+    "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16,
 }
 
 # `bf16[8,1500,1280]{...} all-gather(` — captures dtype, dims, op
@@ -90,6 +90,8 @@ def analyze_encode_scaling(
     seconds: float = 4.0,
     tp: int = 1,
     roofline: Optional[V5eRoofline] = None,
+    cfg=None,
+    per_device_batch: int = 8,
 ) -> List[Dict]:
     """Weak scaling of the fused semantic-encode program: per-device batch
     held at 8 phrases x ``seconds``; the ``data`` mesh axis grows with N
@@ -102,13 +104,13 @@ def analyze_encode_scaling(
     from janus_tpu.runtime.codec import SemanticEncoder
 
     rl = roofline or V5eRoofline()
+    base_cfg = cfg
     bucket = int(48_000 * seconds)
-    per_device_batch = 8
     rows: List[Dict] = []
     for n in device_counts:
         if n > len(jax.devices()) or n % tp:
             continue
-        cfg = JanusConfig()
+        cfg = base_cfg or JanusConfig()
         mesh = (build_mesh(MeshConfig(data=n // tp, model=tp, seq=1))
                 if n > 1 else None)
         enc = SemanticEncoder(cfg, buckets=(bucket,), mesh=mesh)

@@ -99,23 +99,45 @@ class SemanticEncoder:
         acfg = self.cfg.asr
         pcfg = self.cfg.prosody
 
-        # --- prosody on the capture-rate signal (like the reference) ---
-        t48 = audio_48k.shape[-1]
-        sample_mask = jnp.arange(t48)[None, :] < n_valid[:, None]
-        rms = rms_energy(audio_48k, sample_mask)
-        energy_code = classify_energy(rms, pcfg.energy_quiet, pcfg.energy_loud)
+        def frontend(audio_48k, n_valid):
+            """Per-shard audio frontend: prosody + mel. FFT ops (YIN
+            autocorrelation, STFT) are not SPMD-partitionable — left to
+            GSPMD they get batch-all-gathered and replicated on every
+            device; under shard_map each device transforms only its own
+            session lanes."""
+            t48 = audio_48k.shape[-1]
+            sample_mask = jnp.arange(t48)[None, :] < n_valid[:, None]
+            rms = rms_energy(audio_48k, sample_mask)
+            energy_code = classify_energy(rms, pcfg.energy_quiet,
+                                          pcfg.energy_loud)
 
-        track = yin_track(
-            audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
-            pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz,
-        )
-        n_hops = -(-n_valid // pcfg.hop)
-        f0 = mean_voiced_pitch(track, n_valid=n_hops)
-        pitch_code = classify_pitch(f0, pcfg.pitch_deep_hz, pcfg.pitch_high_hz)
+            track = yin_track(
+                audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window,
+                pcfg.hop, pcfg.yin_tolerance, fmin=pcfg.fmin_hz,
+                fmax=pcfg.fmax_hz,
+            )
+            n_hops = -(-n_valid // pcfg.hop)
+            f0 = mean_voiced_pitch(track, n_valid=n_hops)
+            pitch_code = classify_pitch(f0, pcfg.pitch_deep_hz,
+                                        pcfg.pitch_high_hz)
 
-        # --- STT on anti-aliased 16 kHz ---
-        audio_16k = decimate_48k_to_16k(audio_48k)
-        mel = asr_mod.prepare_mel(audio_16k, acfg, pad_to_frames=n_16k_frames)
+            audio_16k = decimate_48k_to_16k(audio_48k)
+            mel = asr_mod.prepare_mel(audio_16k, acfg,
+                                      pad_to_frames=n_16k_frames)
+            return rms, energy_code, f0, pitch_code, mel
+
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            dp = P("data")
+            frontend = shard_map(
+                frontend, mesh=self.mesh,
+                in_specs=(dp, dp),
+                out_specs=(dp, dp, dp, dp, P("data", None, None)),
+                check_rep=False,
+            )
+        rms, energy_code, f0, pitch_code, mel = frontend(audio_48k, n_valid)
         enc = asr_mod.encode_audio(
             self.params, acfg, mel.astype(self._compute_dtype)
         )
@@ -152,6 +174,12 @@ class SemanticEncoder:
         bucket = duration_bucket(max(len(p) for p in phrases), self.buckets)
         b_real = len(phrases)
         b_pad = 1 << (b_real - 1).bit_length()  # next power of two
+        if self.mesh is not None:
+            # lanes must tile the data axis (e.g. a single phrase through a
+            # data=4 mesh still ships 4 lanes, 3 of them zero audio)
+            data = self.mesh.shape.get("data", 1)
+            b_pad = max(b_pad, data)
+            b_pad += (-b_pad) % data
         batch = np.zeros((b_pad, bucket), dtype=np.float32)
         n_valid = np.zeros((b_pad,), dtype=np.int32)
         for i, p in enumerate(phrases):

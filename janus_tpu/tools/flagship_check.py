@@ -84,12 +84,21 @@ def main(argv=None) -> None:
     compile_s = time.time() - t0
     log(f"compile+first-run: {compile_s:.1f}s, out shape {out.shape}")
 
-    times = []
-    for i in range(5):
+    # Through the remote-device tunnel block_until_ready can return before
+    # the step truly finishes; amortize K chained steps per sync and force a
+    # host fetch of a data-dependent scalar so the timing is honest.
+    def timed(k: int = 10) -> float:
         t0 = time.perf_counter()
-        fn(enc_params, mel).block_until_ready()
-        times.append(time.perf_counter() - t0)
-        log(f"iter {i}: {times[-1]*1e3:.1f} ms")
+        acc = None
+        for _ in range(k):
+            acc = fn(enc_params, mel)
+        _ = float(jnp.asarray(acc)[0, 0, 0])  # host fetch = hard sync
+        return (time.perf_counter() - t0) / k
+
+    timed(2)  # warm the dispatch path
+    times = [timed() for _ in range(3)]
+    for i, t in enumerate(times):
+        log(f"iter-group {i}: {t*1e3:.1f} ms/step (10-step amortized)")
     step_ms = min(times) * 1e3
     audio_s = args.batch * args.frames * cfg.hop_length / 16_000
     result = {
@@ -114,12 +123,18 @@ def main(argv=None) -> None:
         toks = dfn(dec_params, mel, prompt)
         toks.block_until_ready()
         result["transcribe_compile_s"] = round(time.time() - t0, 1)
-        ts = []
-        for i in range(3):
+        def timed_dec(k: int = 5) -> float:
             t0 = time.perf_counter()
-            dfn(dec_params, mel, prompt).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-            log(f"transcribe iter {i}: {ts[-1]*1e3:.1f} ms")
+            acc = None
+            for _ in range(k):
+                acc = dfn(dec_params, mel, prompt)
+            _ = int(jnp.asarray(acc)[0, 0])
+            return (time.perf_counter() - t0) / k
+
+        timed_dec(1)
+        ts = [timed_dec() for _ in range(3)]
+        for i, t in enumerate(ts):
+            log(f"transcribe iter-group {i}: {t*1e3:.1f} ms (5-step amortized)")
         result["transcribe_rtf"] = round(min(ts) / audio_s, 6)
 
     print(json.dumps(result), flush=True)

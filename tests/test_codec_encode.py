@@ -125,3 +125,20 @@ def test_mesh_sharded_encoder_matches_single_device(encoder):
         assert r["text"] == o["text"]
         assert r["prosody"] == o["prosody"]
         assert abs(r["f0"] - o["f0"]) < 1e-2
+
+
+def test_mesh_sharded_encoder_single_phrase(encoder):
+    """A batch-1 encode through a data>1 mesh must pad lanes up to the
+    data-axis size instead of failing the sharding divisibility check."""
+    from janus_tpu.common.config import MeshConfig
+    from janus_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(MeshConfig(data=4, model=1, seq=1))
+    sharded = SemanticEncoder(encoder.cfg, asr_params=encoder.params,
+                              buckets=encoder.buckets, mesh=mesh)
+    phrase = voiced_phrase(f0=180.0, amp=0.15, seconds=1.0)
+    ref = encoder.encode_batch([phrase])[0]
+    out = sharded.encode_batch([phrase])[0]
+    assert out["text"] == ref["text"]
+    assert out["prosody"] == ref["prosody"]
+    assert abs(out["f0"] - ref["f0"]) < 1e-2

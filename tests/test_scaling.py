@@ -1,0 +1,53 @@
+"""Scaling analysis: HLO collective accounting + modeled efficiency."""
+
+import numpy as np
+import pytest
+
+from janus_tpu.eval.scaling import (
+    V5eRoofline,
+    analyze_encode_scaling,
+    collective_bytes,
+)
+
+HLO = """
+ENTRY main {
+  %ag = f32[16,188,8192]{2,1,0} all-gather(%x), dimensions={0}
+  %ag2 = c64[4,10]{1,0} all-gather(%y), dimensions={0}
+  %ar = pred[] all-reduce(%d), to_apply=%or
+  %cp = bf16[8,128]{1,0} collective-permute(%z), source_target_pairs={{0,1}}
+  %ars = f32[2,2]{1,0} all-reduce-start(%w)
+  %not_coll = f32[999,999]{1,0} add(%a, %b)
+}
+"""
+
+
+def test_collective_bytes_parses_ops_and_sizes():
+    got = collective_bytes(HLO)
+    assert got["all-gather"] == 16 * 188 * 8192 * 4 + 4 * 10 * 8
+    assert got["all-reduce"] == 1 + 2 * 2 * 4  # pred[] scalar + f32[2,2] start
+    assert got["collective-permute"] == 8 * 128 * 2
+    assert "add" not in got
+
+
+def test_modeled_weak_scaling_meets_target():
+    """The fused encode program (shard_map'd FFT frontend + GSPMD model)
+    must model >= 80% weak-scaling efficiency — the BASELINE target that
+    real multi-chip hardware would have to hit."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual CPU) mesh")
+    from janus_tpu.common.config import JanusConfig
+
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64, "asr.encoder_layers": 2, "asr.decoder_layers": 2,
+        "asr.num_heads": 4, "asr.vocab_size": 300,
+        "asr.max_source_positions": 128, "asr.max_decode_tokens": 4,
+    })
+    rows = analyze_encode_scaling(
+        device_counts=(1, 2), seconds=1.0, cfg=cfg, per_device_batch=2)
+    assert [r["devices"] for r in rows] == [1, 2]
+    eff = rows[-1]["modeled_weak_scaling_efficiency"]
+    # per-device flops must stay ~flat (no replicated frontend compute)
+    f1, f2 = rows[0]["per_device_flops"], rows[1]["per_device_flops"]
+    assert f2 < 1.15 * f1, (f1, f2)
+    assert eff >= 0.8, rows
