@@ -151,6 +151,30 @@ def main() -> None:
             log(f"batch {b}: {dt*1e3:.1f} ms -> {scaling[str(b)]} audio-s/s")
         result["session_scaling_audio_s_per_s"] = scaling
 
+    # Optional flagship benchmark: the large-v3 geometry (635M-param
+    # encoder, 32+32 layers, scan_layers) through the same fused encode
+    # path. Opt-in: ~1 min of extra on-chip compiles.
+    if os.environ.get("JANUS_BENCH_FLAGSHIP") == "1":
+        from janus_tpu.common.config import ASRConfig
+
+        fcfg = JanusConfig()
+        fcfg = type(fcfg)(**{**fcfg.__dict__, "asr": ASRConfig.large_v3()})
+        fcfg = fcfg.override(**{"asr.max_decode_tokens": 24})
+        fenc = SemanticEncoder(fcfg, buckets=(48_000 * 10,))
+        log("flagship: compiling large-v3 encode path...")
+        t0 = time.time()
+        fenc.encode_batch(phrases)
+        log(f"flagship warmup {time.time()-t0:.1f}s")
+        fts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            fenc.encode_batch(phrases)
+            fts.append(time.perf_counter() - t0)
+            log(f"flagship iter {i}: {fts[-1]*1e3:.1f} ms "
+                f"rtf={fts[-1]/audio_seconds:.5f}")
+        result["flagship_encode_rtf_per_chip"] = round(
+            min(fts) / audio_seconds, 6)
+
     print(json.dumps(result), flush=True)
 
 

@@ -119,6 +119,9 @@ class ASRConfig:
     max_target_positions: int = 448
     max_decode_tokens: int = 64         # greedy decode budget for a phrase
     dtype: str = "bfloat16"
+    # compile one lax.scan block body instead of L unrolled layers; required
+    # for flagship-deep models (32-layer unrolled HLO overwhelms compile)
+    scan_layers: bool = False
 
     @classmethod
     def tiny(cls) -> "ASRConfig":
@@ -141,6 +144,7 @@ class ASRConfig:
             decoder_layers=32,
             num_heads=20,
             vocab_size=51_866,
+            scan_layers=True,
         )
 
 

@@ -138,8 +138,12 @@ class SemanticEncoder:
                 check_rep=False,
             )
         rms, energy_code, f0, pitch_code, mel = frontend(audio_48k, n_valid)
+        scan = acfg.scan_layers and (
+            self.mesh is None or self.mesh.shape.get("seq", 1) == 1
+        )
         enc = asr_mod.encode_audio(
-            self.params, acfg, mel.astype(self._compute_dtype)
+            self.params, acfg, mel.astype(self._compute_dtype),
+            scan_layers=scan,
         )
         prompt = jnp.broadcast_to(
             jnp.asarray(self.tokenizer.sot_sequence(), dtype=jnp.int32),
@@ -147,7 +151,7 @@ class SemanticEncoder:
         )
         tokens = asr_mod.greedy_decode(
             self.params, acfg, enc, prompt, self.tokenizer.eot,
-            max_new=acfg.max_decode_tokens,
+            max_new=acfg.max_decode_tokens, scan_layers=scan,
         )
         return tokens, energy_code, pitch_code, f0, rms
 

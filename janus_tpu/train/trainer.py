@@ -76,11 +76,16 @@ class Trainer:
         )
 
     def shard_batch(self, *batch) -> Tuple:
-        """Commit batch arrays to the mesh, leading axis over ``data``."""
+        """Commit batch arrays to the mesh, leading axis over every
+        data-parallel mesh axis (``('replica','data')`` on hybrid multi-
+        slice meshes — the gradient all-reduce over ``replica`` is the one
+        collective that rides DCN)."""
+        from janus_tpu.parallel.distributed import dp_spec
+
         out = []
         for b in batch:
             arr = jnp.asarray(b)
-            spec = P("data") if arr.ndim >= 1 else P()
+            spec = dp_spec(self.mesh, arr.ndim) if arr.ndim >= 1 else P()
             out.append(jax.device_put(arr, NamedSharding(self.mesh, spec)))
         return tuple(out)
 
