@@ -429,7 +429,10 @@ def prepare_mel(audio_16k: jax.Array, cfg: ASRConfig,
         )
     else:
         audio_16k = audio_16k[..., :target_samples]
-    return log_mel_spectrogram(
+    # fused Pallas matmul-DFT frontend on TPU; FFT path elsewhere
+    from janus_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+
+    return log_mel_spectrogram_fused(
         audio_16k, n_fft=cfg.n_fft, hop=cfg.hop_length, n_mels=cfg.n_mels
     )
 
