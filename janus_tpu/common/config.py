@@ -163,6 +163,12 @@ class TTSConfig:
     max_text_tokens: int = 256
     max_mel_frames: int = 1024
     dtype: str = "bfloat16"
+    scan_layers: bool = False           # one lax.scan block body (deep models)
+
+    @classmethod
+    def flagship(cls) -> "TTSConfig":
+        """Fish-Audio-class acoustic model (~300M params)."""
+        return cls(d_model=1024, layers=24, num_heads=16, scan_layers=True)
 
 
 @dataclass(frozen=True)

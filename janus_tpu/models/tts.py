@@ -140,7 +140,34 @@ def _block(blk: Params, x: jax.Array, num_heads: int,
 
 
 class TTSState(NamedTuple):
-    caches: Tuple[KVCache, ...]
+    """KV caches: tuple of per-layer caches (unrolled), or one stacked
+    :class:`KVCache` with a leading layer axis (``cfg.scan_layers`` — one
+    compiled block body for deep flagship decoders)."""
+
+    caches: "Tuple[KVCache, ...] | KVCache"
+
+    @property
+    def fill(self) -> jax.Array:
+        c = self.caches
+        return c.length[0] if isinstance(c, KVCache) else c[0].length
+
+
+def _stack_blocks(blocks) -> Params:
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
+
+
+def _make_state(cfg: TTSConfig, batch: int, cache_len: int,
+                dtype=jnp.float32) -> TTSState:
+    head_dim = cfg.d_model // cfg.num_heads
+    if cfg.scan_layers:
+        return TTSState(KVCache.create(
+            (cfg.layers, batch), cfg.num_heads, cache_len, head_dim,
+            dtype=dtype))
+    return TTSState(tuple(
+        KVCache.create((batch,), cfg.num_heads, cache_len, head_dim,
+                       dtype=dtype)
+        for _ in range(cfg.layers)
+    ))
 
 
 def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
@@ -151,14 +178,26 @@ def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
     t_new = x.shape[-2]
     positions = pos_offset[..., None] + jnp.arange(t_new)
     x = x + embedding_lookup(params["pos_emb"], positions)
-    caches = []
-    for blk, cache in zip(params["blocks"], state.caches):
-        x, cache = _block(blk, x, cfg.num_heads, cache)
-        caches.append(cache)
+    if isinstance(state.caches, KVCache):
+        stacked = _stack_blocks(params["blocks"])
+
+        def sbody(h, layer):
+            blk, cache = layer
+            h, cache = _block(blk, h, cfg.num_heads, cache)
+            return h, cache
+
+        x, caches = jax.lax.scan(sbody, x, (stacked, state.caches))
+        new_state = TTSState(caches)
+    else:
+        caches = []
+        for blk, cache in zip(params["blocks"], state.caches):
+            x, cache = _block(blk, x, cfg.num_heads, cache)
+            caches.append(cache)
+        new_state = TTSState(tuple(caches))
     x = layer_norm(x, **params["ln"])
     mel = linear(x, params["mel_head"]["w"], params["mel_head"]["b"])
     stop = linear(x, params["stop_head"]["w"], params["stop_head"]["b"])[..., 0]
-    return mel, stop, TTSState(tuple(caches))
+    return mel, stop, new_state
 
 
 def _prompt_embedding(params: Params, cfg: TTSConfig, text_ids: jax.Array,
@@ -197,12 +236,7 @@ def tts_forward(params: Params, cfg: TTSConfig, text_ids: jax.Array,
 
     b = text_ids.shape[0]
     total = x.shape[1]
-    d = cfg.d_model
-    head_dim = d // cfg.num_heads
-    state = TTSState(tuple(
-        KVCache.create((b,), cfg.num_heads, total, head_dim, dtype=jnp.float32)
-        for _ in range(cfg.layers)
-    ))
+    state = _make_state(cfg, b, total)
     mel, stop, _ = _forward_embedded(
         params, cfg, x, jnp.zeros((b,), jnp.int32), state
     )
@@ -225,13 +259,9 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         max_groups = cfg.max_mel_frames // cfg.reduction
     b = text_ids.shape[0]
     r_mels = cfg.reduction * cfg.n_mels
-    head_dim = cfg.d_model // cfg.num_heads
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
     cache_len = prompt.shape[1] + max_groups
-    state = TTSState(tuple(
-        KVCache.create((b,), cfg.num_heads, cache_len, head_dim, dtype=jnp.float32)
-        for _ in range(cfg.layers)
-    ))
+    state = _make_state(cfg, b, cache_len)
     mel0, stop0, state = _forward_embedded(
         params, cfg, prompt, jnp.zeros((b,), jnp.int32), state
     )
@@ -250,7 +280,7 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         step, out, done, n_groups, state = carry
         prev = jax.lax.dynamic_slice_in_dim(out, step - 1, 1, axis=1)  # [B,1,rm]
         x = _embed_mel(params, prev)
-        pos = state.caches[0].length
+        pos = state.fill
         mel, stop, state = _forward_embedded(params, cfg, x, pos, state)
         nxt = mel[:, 0, :]
         nxt = jnp.where(done[:, None], 0.0, nxt)

@@ -226,3 +226,36 @@ def test_voice_clone_hot_reload(tmp_path):
     syn._check_and_reload_reference_audio()
     second = np.asarray(syn._speaker_vec)
     assert not np.allclose(first, second)
+
+
+def test_tts_scan_layers_matches_unrolled():
+    """scan_layers TTS (stacked caches, lax.scan block body) must generate
+    the same mel frames as the unrolled decoder."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from janus_tpu.common.config import TTSConfig
+    from janus_tpu.models import tts as tts_mod
+
+    cfg = TTSConfig(d_model=64, layers=3, num_heads=4, n_mels=8,
+                    reduction=2, max_text_tokens=8, max_mel_frames=16)
+    params = tts_mod.init_tts(0, cfg, text_vocab=261)
+    text = jnp.asarray([[5, 6, 7, 0, 0, 0, 0, 0]], dtype=jnp.int32)
+    emo = jnp.zeros((1,), dtype=jnp.int32)
+
+    mel_u, n_u = tts_mod.tts_generate(params, cfg, text, emo, max_groups=8,
+                                      stop_threshold=2.0)
+    scfg = dataclasses.replace(cfg, scan_layers=True)
+    mel_s, n_s = tts_mod.tts_generate(params, scfg, text, emo, max_groups=8,
+                                      stop_threshold=2.0)
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_u))
+    np.testing.assert_allclose(np.asarray(mel_s), np.asarray(mel_u), atol=2e-5)
+
+    # teacher-forced training pass parity too
+    groups = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 5, 16)).astype(np.float32))
+    mu, su = tts_mod.tts_forward(params, cfg, text, emo, groups)
+    ms, ss = tts_mod.tts_forward(params, scfg, text, emo, groups)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(mu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(su), atol=2e-5)
