@@ -36,6 +36,9 @@ def main(argv=None) -> None:
                     help="mel frames (3000 = canonical 30 s window)")
     ap.add_argument("--decode", action="store_true",
                     help="also run KV-cached greedy decode (scan decoder)")
+    ap.add_argument("--int8", action="store_true",
+                    help="per-channel int8 weights (reference STT parity: "
+                         "CTranslate2 compute_type='int8')")
     ap.add_argument("--max-new", type=int, default=16)
     args = ap.parse_args(argv)
 
@@ -65,8 +68,12 @@ def main(argv=None) -> None:
 
     t0 = time.time()
     params = asr.init_asr(0, cfg)
-    enc_params = {"encoder": jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16), params["encoder"])}
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        from janus_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
+    enc_params = {"encoder": params["encoder"]}
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(enc_params))
     log(f"encoder params: {n_params/1e6:.1f}M (bf16, {time.time()-t0:.1f}s init)")
@@ -113,7 +120,7 @@ def main(argv=None) -> None:
     }
 
     if args.decode:
-        dec_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        dec_params = params
         dfn = jax.jit(lambda p, m, pr: asr.transcribe_mel(
             p, cfg, m, pr, eot_id=50257, max_new=args.max_new,
             scan_layers=True))
