@@ -101,18 +101,20 @@ def main() -> None:
         max_groups = 256  # 512 mel frames ≈ 5.5 s at 24 kHz hop 256
 
         @jax.jit
-        def decode(text_ids, emo):
+        def decode(tp, vp, text_ids, emo):
+            # params as traced args (closure capture would inline them as
+            # HLO constants — see codec._encode_impl)
             mel, _ = tts_mod.tts_generate(
-                tts_params, cfg.tts, text_ids, emo, max_groups=max_groups,
+                tp, cfg.tts, text_ids, emo, max_groups=max_groups,
                 text_vocab=tok.vocab_size, stop_threshold=2.0,  # never stop
             )
-            return voc_mod.vocoder_waveform(voc_params, cfg.vocoder, mel)
+            return voc_mod.vocoder_waveform(vp, cfg.vocoder, mel)
 
         text = jnp.zeros((dec_batch, 64), dtype=jnp.int32)
         emo = jnp.zeros((dec_batch,), dtype=jnp.int32)
         log("decode: compiling...")
         t0 = time.time()
-        decode(text, emo).block_until_ready()
+        decode(tts_params, voc_params, text, emo).block_until_ready()
         log(f"decode warmup {time.time()-t0:.1f}s")
         dts = []
         gen_seconds = (
@@ -121,7 +123,7 @@ def main() -> None:
         )
         for i in range(3):
             t0 = time.perf_counter()
-            decode(text, emo).block_until_ready()
+            decode(tts_params, voc_params, text, emo).block_until_ready()
             dts.append(time.perf_counter() - t0)
             log(f"decode iter {i}: {dts[-1]*1e3:.1f} ms "
                 f"rtf={dts[-1]/gen_seconds:.5f}")

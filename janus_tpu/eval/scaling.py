@@ -128,7 +128,7 @@ def analyze_encode_scaling(
         n16 = max(2, n16 - (n16 % 2))
         compiled = (
             jax.jit(enc._encode_impl, static_argnames=("n_16k_frames",))
-            .lower(audio, n_valid, n_16k_frames=n16)
+            .lower(enc.params, audio, n_valid, n_16k_frames=n16)
             .compile()
         )
         cost = compiled.cost_analysis()

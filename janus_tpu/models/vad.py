@@ -111,17 +111,20 @@ class VoiceActivityDetector:
         self._floor = jnp.asarray(1e-3)
         self._prob_fn = jax.jit(self._prob_impl)
 
-    def _prob_impl(self, chunk: jax.Array, floor: jax.Array):
+    def _prob_impl(self, params, chunk: jax.Array, floor: jax.Array):
+        # params traced, not closed over (closure capture inlines weights
+        # into the HLO as constants)
         if self.sample_rate == 48_000:
             chunk16 = decimate_48k_to_16k(chunk)
         else:
             chunk16 = chunk
         if self.backend == "model":
-            return vad_model_prob(self.params, chunk16), floor
+            return vad_model_prob(params, chunk16), floor
         return energy_gate_prob(chunk16, floor, self.cfg.energy_gate_rms)
 
     def speech_prob(self, chunk: np.ndarray) -> float:
-        prob, new_floor = self._prob_fn(jnp.asarray(chunk), self._floor)
+        prob, new_floor = self._prob_fn(self.params, jnp.asarray(chunk),
+                                        self._floor)
         self._floor = new_floor
         return float(prob)
 

@@ -89,12 +89,17 @@ class SemanticEncoder:
 
     # -- device path -------------------------------------------------------
 
-    def _encode_impl(self, audio_48k: jax.Array, n_valid: jax.Array,
+    def _encode_impl(self, params, audio_48k: jax.Array, n_valid: jax.Array,
                      n_16k_frames: int) -> Tuple[jax.Array, ...]:
         """``audio_48k[B, T48]`` (zero-padded), ``n_valid[B]`` true lengths.
 
         Returns (tokens[B, N], energy_code[B], pitch_code[B],
         mean_f0[B], rms[B]).
+
+        ``params`` MUST be a traced argument, never closed over: closure-
+        captured weights are inlined into the HLO as constants (a 635M-param
+        model becomes a 3 GB program that kills the compile tunnel, and
+        every new checkpoint would recompile).
         """
         acfg = self.cfg.asr
         pcfg = self.cfg.prosody
@@ -142,7 +147,7 @@ class SemanticEncoder:
             self.mesh is None or self.mesh.shape.get("seq", 1) == 1
         )
         enc = asr_mod.encode_audio(
-            self.params, acfg, mel.astype(self._compute_dtype),
+            params, acfg, mel.astype(self._compute_dtype),
             scan_layers=scan,
         )
         prompt = jnp.broadcast_to(
@@ -150,7 +155,7 @@ class SemanticEncoder:
             (audio_48k.shape[0], len(self.tokenizer.sot_sequence())),
         )
         tokens = asr_mod.greedy_decode(
-            self.params, acfg, enc, prompt, self.tokenizer.eot,
+            params, acfg, enc, prompt, self.tokenizer.eot,
             max_new=acfg.max_decode_tokens, scan_layers=scan,
         )
         return tokens, energy_code, pitch_code, f0, rms
@@ -206,7 +211,7 @@ class SemanticEncoder:
             batch_j = jax.device_put(batch_j, data_shard)
             n_valid_j = jax.device_put(n_valid_j, data_shard)
         tokens, e_code, p_code, f0, rms = self._encode_jit(
-            batch_j, n_valid_j, n_16k_frames=n16
+            self.params, batch_j, n_valid_j, n_16k_frames=n16
         )
         tokens = np.asarray(tokens)
         e_code = np.asarray(e_code)

@@ -126,16 +126,19 @@ class Synthesizer:
 
     # -- device path -------------------------------------------------------
 
-    def _synth_impl(self, text_ids: jax.Array, emotion: jax.Array,
-                    speaker: Optional[jax.Array]
+    def _synth_impl(self, tts_params, vocoder_params, text_ids: jax.Array,
+                    emotion: jax.Array, speaker: Optional[jax.Array]
                     ) -> Tuple[jax.Array, jax.Array]:
+        # params are traced args, NOT closed over — closure capture inlines
+        # the weights into the HLO as constants (flagship-size programs
+        # break the compile tunnel; checkpoints would recompile)
         import math
 
         mel, n_frames = tts_mod.tts_generate(
-            self.tts_params, self.cfg.tts, text_ids, emotion,
+            tts_params, self.cfg.tts, text_ids, emotion,
             speaker=speaker, text_vocab=self.tokenizer.vocab_size,
         )
-        wav = voc_mod.vocoder_waveform(self.vocoder_params, self.cfg.vocoder, mel)
+        wav = voc_mod.vocoder_waveform(vocoder_params, self.cfg.vocoder, mel)
         # vocoder rate -> 48 kHz playback
         sr = self.cfg.vocoder.sample_rate
         g = math.gcd(48_000, sr)
@@ -159,6 +162,7 @@ class Synthesizer:
         elif self._default_speaker_vec is not None:
             speaker = jnp.asarray(self._default_speaker_vec)[None, :]
         wav, n_samples = self._synth_jit(
+            self.tts_params, self.vocoder_params,
             jnp.asarray(padded), jnp.asarray(emo), speaker
         )
         n = int(np.asarray(n_samples)[0]) if np.ndim(n_samples) else int(n_samples)

@@ -106,20 +106,20 @@ def main(argv=None) -> None:
         mel_fn, (audio,), lambda o: float(jnp.asarray(o)[0, 0, 0]))
 
     mel = mel_fn(audio)
-    enc_fn = jax.jit(lambda m: asr_mod.encode_audio(
-        params, acfg, m.astype(jnp.dtype(acfg.dtype)), scan_layers=scan))
+    enc_fn = jax.jit(lambda w, m: asr_mod.encode_audio(
+        w, acfg, m.astype(jnp.dtype(acfg.dtype)), scan_layers=scan))
     stages["encoder"] = _timed(
-        enc_fn, (mel,), lambda o: float(jnp.asarray(o)[0, 0, 0]))
+        enc_fn, (params, mel), lambda o: float(jnp.asarray(o)[0, 0, 0]))
 
-    enc = enc_fn(mel)
+    enc = enc_fn(params, mel)
     prompt = jnp.broadcast_to(
         jnp.asarray(tok.sot_sequence(), dtype=jnp.int32),
         (args.batch, len(tok.sot_sequence())))
-    dec_fn = jax.jit(lambda e, p: asr_mod.greedy_decode(
-        params, acfg, e, p, tok.eot, max_new=acfg.max_decode_tokens,
+    dec_fn = jax.jit(lambda w, e, p: asr_mod.greedy_decode(
+        w, acfg, e, p, tok.eot, max_new=acfg.max_decode_tokens,
         scan_layers=scan))
     stages["greedy_decode"] = _timed(
-        dec_fn, (enc, prompt), lambda o: int(jnp.asarray(o)[0, 0]), k=5)
+        dec_fn, (params, enc, prompt), lambda o: int(jnp.asarray(o)[0, 0]), k=5)
 
     total = sum(stages.values())
     for name, s in stages.items():
