@@ -36,13 +36,37 @@ __all__ = [
 PITCH_TAGS = ("Deep", "Normal", "High")
 
 
-def _difference_function(x: jax.Array, n_lags: int) -> jax.Array:
-    """d(τ) = Σ_{j<N} (x[j] - x[j+τ])², τ ∈ [0, n_lags), for x of length 2·n_lags.
+def _fast_fft_len(n: int) -> int:
+    """Smallest 5-smooth (2^a·3^b·5^c) length ≥ n — sizes XLA's mixed-radix
+    FFT handles efficiently."""
+    best = 1 << (n - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p3 = p5
+        while p3 < best:
+            p = p3
+            while p < n:
+                p *= 2
+            best = min(best, p)
+            p3 *= 3
+        p5 *= 5
+    return best
+
+
+def _difference_function(x: jax.Array, n_lags: int,
+                         n_lags_out: int | None = None) -> jax.Array:
+    """d(τ) = Σ_{j<N} (x[j] - x[j+τ])², τ ∈ [0, n_lags_out), summing over
+    N = n_lags terms, for x of length 2·n_lags.
 
     Uses d(τ) = Σ x[j]² + Σ x[j+τ]² − 2·Σ x[j]x[j+τ]; the cross term is an
-    FFT correlation, the sliding energy a cumulative sum.
+    FFT correlation, the sliding energy a cumulative sum. ``n_lags_out`` <
+    n_lags (bounded pitch search) shrinks the FFT: linear correlation for
+    lags < L is exact whenever fft_len ≥ buf + L, so truncation loses
+    nothing.
     """
     buf = x.shape[-1]
+    if n_lags_out is None:
+        n_lags_out = n_lags
     a = x[..., :n_lags]
 
     sq = x * x
@@ -50,14 +74,14 @@ def _difference_function(x: jax.Array, n_lags: int) -> jax.Array:
     # energy[tau] = sum_{j=tau}^{tau+n_lags-1} x[j]^2
     zero = jnp.zeros_like(csum[..., :1])
     csum0 = jnp.concatenate([zero, csum], axis=-1)
-    tau = np.arange(n_lags)
+    tau = np.arange(n_lags_out)
     energy = csum0[..., tau + n_lags] - csum0[..., tau]
     e0 = energy[..., :1]
 
-    fft_len = 2 * buf
+    fft_len = _fast_fft_len(buf + n_lags_out) if n_lags_out < n_lags else 2 * buf
     fa = jnp.fft.rfft(a, n=fft_len, axis=-1)
     fx = jnp.fft.rfft(x, n=fft_len, axis=-1)
-    cross = jnp.fft.irfft(jnp.conj(fa) * fx, n=fft_len, axis=-1)[..., :n_lags]
+    cross = jnp.fft.irfft(jnp.conj(fa) * fx, n=fft_len, axis=-1)[..., :n_lags_out]
 
     d = e0 + energy - 2.0 * cross
     return jnp.maximum(d, 0.0)
@@ -98,15 +122,19 @@ def yin_frame(
     """
     buf = window.shape[-1]
     n_lags = buf // 2
-    d = _difference_function(window.astype(jnp.float32), n_lags)
-    y = _cmndf(d)
-
     p_lo = 2 if fmax is None else max(2, int(sample_rate / fmax))
     p_hi = n_lags - 4 if fmin is None else min(n_lags - 4, int(sample_rate / fmin))
 
+    # bounded search: only y[0 .. p_hi+1] is ever inspected (the local-min
+    # test reads y[p+1]); computing fewer lags shrinks the FFT (exactly)
+    n_lags_out = n_lags if fmin is None else min(n_lags, p_hi + 2)
+    d = _difference_function(window.astype(jnp.float32), n_lags,
+                             n_lags_out=n_lags_out)
+    y = _cmndf(d)
+
     # First local minimum below tolerance, aubio-style: scanning τ>4 and
     # testing period p=τ-3 → candidate p ∈ [p_lo, p_hi] with y[p] < y[p+1].
-    p_idx = jnp.arange(n_lags)
+    p_idx = jnp.arange(n_lags_out)
     in_range = (p_idx >= p_lo) & (p_idx <= p_hi)
     cand = in_range & (y < tolerance) & (y < jnp.roll(y, -1, axis=-1))
     if fmin is not None or fmax is not None:

@@ -115,3 +115,29 @@ def test_mean_voiced_pitch_masks_padding():
     track = jnp.asarray([100.0, 100.0, 900.0, 900.0])
     m = float(mean_voiced_pitch(track, n_valid=jnp.asarray(2)))
     assert m == 100.0
+
+
+def test_bounded_truncated_fft_exact_vs_full_length():
+    """The bounded search computes d(tau) with a shrunken FFT
+    (fft_len >= buf + n_lags_out makes linear correlation exact) — results
+    must be identical to slicing a full-length computation."""
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.yin import _difference_function, _fast_fft_len, yin_frame
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((3, 4096)).astype(np.float32))
+    full = np.asarray(_difference_function(w, 2048))
+    trunc = np.asarray(_difference_function(w, 2048, n_lags_out=1202))
+    np.testing.assert_allclose(trunc, full[..., :1202], rtol=1e-4, atol=1e-3)
+
+    # end-to-end: bounded pitch on a tone must equal the pre-truncation
+    # behavior (here: simply detect the tone accurately)
+    t = np.arange(4096) / 48000.0
+    tone = jnp.asarray(np.sin(2 * np.pi * 170.0 * t).astype(np.float32))[None]
+    f0 = float(np.asarray(yin_frame(tone, 48000, fmin=40.0, fmax=1000.0))[0])
+    assert abs(f0 - 170.0) < 1.0, f0
+
+    assert _fast_fft_len(5304) == 5400
+    assert _fast_fft_len(4097) == 4320
+    assert _fast_fft_len(8192) == 8192
