@@ -110,6 +110,35 @@ def _flash_bh(q, k, v, causal: bool, interpret: bool):
     return out[:, :t, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_bh_diff(q, k, v, causal: bool, interpret: bool):
+    """Differentiable wrapper: Pallas kernel forward, exact XLA attention
+    gradient backward (Pallas kernels have no automatic JVP/VJP — without
+    this, ``grad`` through an on-TPU encoder train step crashes). The
+    backward recomputes the [Tq, Tk] probabilities in fp32, which is fine
+    at phrase scale; residuals are just (q, k, v)."""
+    return _flash_bh(q, k, v, causal, interpret)
+
+
+def _flash_fwd(q, k, v, causal, interpret):
+    return _flash_bh(q, k, v, causal, interpret), (q, k, v)
+
+
+def _flash_bwd(causal, interpret, res, g):
+    q, k, v = res
+    mask = _causal_mask(q.shape[1], k.shape[1]) if causal else None
+
+    def ref(q, k, v):
+        # attend expects a heads axis; [BH, T, D] rides as one head each
+        return attend(q[:, None], k[:, None], v[:, None], mask)[:, 0]
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_bh_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -122,7 +151,8 @@ def flash_attention(
 
     Custom boolean masks fall back to the XLA path (the kernel serves the
     two hot cases: full and causal). ``force=True`` runs the kernel in
-    interpreter mode off-TPU (tests).
+    interpreter mode off-TPU (tests). Differentiable: the backward pass is
+    the exact XLA attention gradient (see :func:`_flash_bh_diff`).
     """
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -136,7 +166,7 @@ def flash_attention(
     qf = q.reshape(bh, t, dh)
     kf = k.reshape(bh, k.shape[-2], dh)
     vf = v.reshape(bh, v.shape[-2], dh)
-    out = _flash_bh(qf, kf, vf, causal, not on_tpu)
+    out = _flash_bh_diff(qf, kf, vf, causal, not on_tpu)
     return out.reshape(*lead, h, t, dh)
 
 
