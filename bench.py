@@ -32,12 +32,9 @@ def main() -> None:
 
     # Persistent compilation cache: first-compile through the remote tunnel
     # costs ~9 min; subsequent runs (e.g. the driver's) hit the cache.
-    cache_dir = os.environ.get(
-        "JANUS_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from janus_tpu.common.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from janus_tpu.common.config import JanusConfig
     from janus_tpu.runtime.codec import SemanticEncoder
@@ -159,8 +156,9 @@ def main() -> None:
     if os.environ.get("JANUS_BENCH_FLAGSHIP") == "1":
         from janus_tpu.common.config import ASRConfig
 
-        fcfg = JanusConfig()
-        fcfg = type(fcfg)(**{**fcfg.__dict__, "asr": ASRConfig.large_v3()})
+        import dataclasses
+
+        fcfg = dataclasses.replace(JanusConfig(), asr=ASRConfig.large_v3())
         fcfg = fcfg.override(**{"asr.max_decode_tokens": 24})
         fenc = SemanticEncoder(fcfg, buckets=(48_000 * 10,))
         log("flagship: compiling large-v3 encode path...")

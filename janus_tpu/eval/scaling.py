@@ -57,25 +57,56 @@ _DTYPE_BYTES = {
     "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16,
 }
 
-# `bf16[8,1500,1280]{...} all-gather(` — captures dtype, dims, op
+_COLL_OPS = r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+# array result: `bf16[8,1500,1280]{...} all-gather(` — sync, `-start`, or `-done`
 _COLL_RE = re.compile(
-    r"(\w+)\[([0-9,]*)\][^ ]*\s+"
-    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(",
+    r"(\w+)\[([0-9,]*)\][^ ]*\s+" + _COLL_OPS + r"(-start|-done)?\(",
 )
+# async start with tuple result: `(bf16[..]{..}, bf16[..]{..}) all-gather-start(`
+# — the LAST tuple element is the destination buffer
+_COLL_TUPLE_RE = re.compile(
+    r"\(([^()]*\])\)\s+" + _COLL_OPS + r"-start\(",
+)
+_SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
+
+
+def _shape_bytes(dtype: str, dims: str) -> int:
+    if dtype not in _DTYPE_BYTES:
+        return 0
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dtype]
 
 
 def collective_bytes(hlo_text: str) -> Dict[str, int]:
-    """Result-operand bytes of every collective in optimized HLO, by op."""
+    """Result bytes of every collective in optimized HLO, by op.
+
+    Each async pair is counted once: via its ``-done`` result when
+    present, else via its ``-start`` (array-shaped result, or the
+    destination buffer — the last tuple element — of tuple-shaped
+    starts). Synchronous forms count directly."""
     out: Dict[str, int] = {}
-    for dtype, dims, op in _COLL_RE.findall(hlo_text):
-        if dtype not in _DTYPE_BYTES:
+    done_seen: Dict[str, int] = {}
+    starts: Dict[str, List[int]] = {}
+    for dtype, dims, op, suffix in _COLL_RE.findall(hlo_text):
+        if suffix == "-start":
+            starts.setdefault(op, []).append(_shape_bytes(dtype, dims))
             continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        out[op] = out.get(op, 0) + n * _DTYPE_BYTES[dtype]
+        out[op] = out.get(op, 0) + _shape_bytes(dtype, dims)
+        if suffix == "-done":
+            done_seen[op] = done_seen.get(op, 0) + 1
+    for tup, op in _COLL_TUPLE_RE.findall(hlo_text):
+        shapes = _SHAPE_RE.findall(tup)
+        if shapes:
+            dtype, dims = shapes[-1]
+            starts.setdefault(op, []).append(_shape_bytes(dtype, dims))
+    # count only starts beyond the dones already counted for that op
+    for op, sizes in starts.items():
+        extra = sizes[done_seen.get(op, 0):]
+        if extra:
+            out[op] = out.get(op, 0) + sum(extra)
     return out
 
 
@@ -107,8 +138,12 @@ def analyze_encode_scaling(
     base_cfg = cfg
     bucket = int(48_000 * seconds)
     rows: List[Dict] = []
+    device_counts = sorted(set(device_counts) | {1})  # always keep the
+    # N=1 baseline: efficiency is defined relative to a single chip, even
+    # when tp > 1 (a tp>1 mesh can't run on 1 device, but the unsharded
+    # program can)
     for n in device_counts:
-        if n > len(jax.devices()) or n % tp:
+        if n > len(jax.devices()) or (n > 1 and n % tp):
             continue
         cfg = base_cfg or JanusConfig()
         mesh = (build_mesh(MeshConfig(data=n // tp, model=tp, seq=1))
@@ -123,11 +158,11 @@ def analyze_encode_scaling(
             sh = NamedSharding(mesh, P("data"))
             audio = jax.device_put(audio, sh)
             n_valid = jax.device_put(n_valid, sh)
-        n16 = min(bucket // 3 // cfg.asr.hop_length,
-                  2 * cfg.asr.max_source_positions)
-        n16 = max(2, n16 - (n16 % 2))
+        # the exact serving program: same jit wrapper + frame budget as
+        # SemanticEncoder.encode_batch, so cost analysis measures what runs
+        n16 = enc.mel_frame_budget(bucket)
         compiled = (
-            jax.jit(enc._encode_impl, static_argnames=("n_16k_frames",))
+            enc._encode_jit
             .lower(enc.params, audio, n_valid, n_16k_frames=n16)
             .compile()
         )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from janus_tpu.common.config import ASRConfig
-from janus_tpu.models.params import KeyGen, normal_init
+from janus_tpu.models.params import KeyGen, normal_init, stack_layer_params
 from janus_tpu.ops.attention import KVCache, attend, causal_mask, merge_heads, split_heads
 from janus_tpu.ops.layers import conv1d, embedding_lookup, gelu, layer_norm, linear, sinusoid_positions
 from janus_tpu.ops.mel import log_mel_spectrogram
@@ -33,6 +33,7 @@ __all__ = [
     "decoder_prefill",
     "decoder_step",
     "greedy_decode",
+    "prestack_decoder",
     "transcribe_mel",
     "prepare_mel",
     "DecodeState",
@@ -165,7 +166,7 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
         # lax.scan over stacked block params: one compiled block body
         # instead of L unrolled copies — essential for large-v3's 32
         # layers, where the unrolled HLO dominates compile time
-        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *enc["blocks"])
+        stacked = stack_layer_params(enc["blocks"])
 
         def body(h, blk):
             h = h + _attention(blk["attn"], layer_norm(h, **blk["attn_ln"]),
@@ -218,7 +219,18 @@ class DecodeState(NamedTuple):
 
 def _stack_blocks(blocks: List[Params]) -> Params:
     """List of per-layer param trees → one tree with leading layer axis."""
-    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
+    return stack_layer_params(blocks)
+
+
+def prestack_decoder(params: Params) -> Params:
+    """Return ``params`` with ``decoder/blocks`` stacked along a leading
+    layer axis (idempotent). Called once at the top of a scan-layers decode
+    program so the stack is emitted outside the token while_loop instead of
+    relying on XLA to hoist a full weight copy out of every step."""
+    dec = params["decoder"]
+    if isinstance(dec["blocks"], dict):
+        return params
+    return {**params, "decoder": {**dec, "blocks": _stack_blocks(dec["blocks"])}}
 
 
 def _precompute_cross_kv(params: Params, cfg: ASRConfig, enc: jax.Array) -> Tuple:
@@ -242,15 +254,18 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
             (cfg.decoder_layers,) + batch_shape, cfg.num_heads, max_len,
             head_dim, dtype=dtype,
         )
-        stacked = _stack_blocks(params["decoder"]["blocks"])
+        blocks = params["decoder"]["blocks"]
+        # only the cross projections are needed here — don't stack the
+        # whole block tree when the caller hasn't prestacked it
+        cross = (blocks["cross"] if isinstance(blocks, dict)
+                 else _stack_blocks([b["cross"] for b in blocks]))
 
-        def per_layer_kv(blk):
-            p = blk["cross"]
+        def per_layer_kv(p):
             k = split_heads(linear(enc, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
             v = split_heads(linear(enc, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
             return k, v
 
-        ck, cv = jax.vmap(per_layer_kv)(stacked)
+        ck, cv = jax.vmap(per_layer_kv)(cross)
         return DecodeState(self_caches=cache, cross_k=ck, cross_v=cv)
     caches = tuple(
         KVCache.create(batch_shape, cfg.num_heads, max_len, head_dim, dtype=dtype)
@@ -309,7 +324,8 @@ def _decoder_forward(
     x = x + embedding_lookup(dec["pos_emb"], positions)
 
     if state.stacked:
-        stacked = _stack_blocks(dec["blocks"])
+        stacked = (dec["blocks"] if isinstance(dec["blocks"], dict)
+                   else _stack_blocks(dec["blocks"]))
 
         def body(h, layer):
             blk, cache, ck, cv = layer
@@ -380,6 +396,9 @@ def greedy_decode(
     if max_new is None:
         max_new = cfg.max_decode_tokens
     cache_len = prompt.shape[-1] + max_new
+    if scan_layers:
+        # stack decoder weights ONCE, outside the token while_loop
+        params = prestack_decoder(params)
     state = init_decode_state(params, cfg, enc, max_len=cache_len,
                               dtype=cache_dtype, scan_layers=scan_layers)
     first_logits, state = decoder_prefill(params, cfg, prompt, state)

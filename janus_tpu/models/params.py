@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "stack_layer_params",
     "KeyGen",
     "normal_init",
     "flatten_with_paths",
@@ -101,3 +102,15 @@ def cast_floating(tree: Any, dtype) -> Any:
         return leaf
 
     return jax.tree.map(cast, tree)
+
+
+def stack_layer_params(blocks) -> Any:
+    """List of per-layer param trees → one tree with a leading layer axis,
+    the layout ``lax.scan``-over-layers consumes (used by the ASR and TTS
+    scan paths). Stack ONCE per forward program, outside any decode loop —
+    re-stacking inside a while_loop body relies on XLA hoisting a full
+    weight copy out of the loop."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    return _jax.tree.map(lambda *leaves: _jnp.stack(leaves), *blocks)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from janus_tpu.common.config import TTSConfig
-from janus_tpu.models.params import KeyGen, normal_init
+from janus_tpu.models.params import KeyGen, normal_init, stack_layer_params
 from janus_tpu.ops.attention import KVCache, attend, merge_heads, split_heads
 from janus_tpu.ops.layers import embedding_lookup, gelu, layer_norm, linear
 
@@ -153,7 +153,15 @@ class TTSState(NamedTuple):
 
 
 def _stack_blocks(blocks) -> Params:
-    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
+    return stack_layer_params(blocks)
+
+
+def _prestack(params: Params) -> Params:
+    """Stack ``blocks`` along a leading layer axis (idempotent) — done once
+    per traced program so the stack sits outside the sampling while_loop."""
+    if isinstance(params["blocks"], dict):
+        return params
+    return {**params, "blocks": _stack_blocks(params["blocks"])}
 
 
 def _make_state(cfg: TTSConfig, batch: int, cache_len: int,
@@ -179,7 +187,8 @@ def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
     positions = pos_offset[..., None] + jnp.arange(t_new)
     x = x + embedding_lookup(params["pos_emb"], positions)
     if isinstance(state.caches, KVCache):
-        stacked = _stack_blocks(params["blocks"])
+        stacked = (params["blocks"] if isinstance(params["blocks"], dict)
+                   else _stack_blocks(params["blocks"]))
 
         def sbody(h, layer):
             blk, cache = layer
@@ -259,6 +268,9 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         max_groups = cfg.max_mel_frames // cfg.reduction
     b = text_ids.shape[0]
     r_mels = cfg.reduction * cfg.n_mels
+    if cfg.scan_layers:
+        # stack layer weights ONCE, outside the sampling while_loop
+        params = _prestack(params)
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
     cache_len = prompt.shape[1] + max_groups
     state = _make_state(cfg, b, cache_len)

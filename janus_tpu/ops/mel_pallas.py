@@ -17,8 +17,11 @@ and the power spectrum never round-trips to HBM. The global floor/scale
 reduction, so it stays in XLA after the kernel.
 
 The reference computed this inside faster-whisper's C++ runtime
-(reference: backend/services/transcriber.py:23-57); numerics here match
-:func:`janus_tpu.ops.mel.log_mel_spectrogram` (FFT path) to ~1e-5.
+(reference: backend/services/transcriber.py:23-57); numerics match
+:func:`janus_tpu.ops.mel.log_mel_spectrogram` (FFT path) to ~1e-5 in f32
+(tested in interpret mode) and ≤1e-3 against the on-TPU FFT path
+(matmuls run precision=HIGHEST; without it the MXU's bf16 truncation
+costs ~1e-2 — measured on v5e).
 """
 
 from __future__ import annotations
@@ -63,10 +66,17 @@ def _dft_mats_np(n_fft: int, sample_rate: int, n_mels: int):
 
 
 def _kernel(fr_ref, c_ref, s_ref, fb_ref, o_ref):
+    # precision=HIGHEST: the MXU's default f32 matmul truncates inputs to
+    # bf16, which costs ~1e-2 of log-mel accuracy vs the FFT reference
+    # (measured on v5e); 3-pass f32 emulation keeps parity at ~1e-5 and
+    # these matmuls are tiny (400x201)
+    hi = jax.lax.Precision.HIGHEST
     fr = fr_ref[...].astype(jnp.float32)
-    re = jnp.dot(fr, c_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(fr, s_ref[...], preferred_element_type=jnp.float32)
-    mel = jnp.dot(re * re + im * im, fb_ref[...],
+    re = jnp.dot(fr, c_ref[...], precision=hi,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(fr, s_ref[...], precision=hi,
+                 preferred_element_type=jnp.float32)
+    mel = jnp.dot(re * re + im * im, fb_ref[...], precision=hi,
                   preferred_element_type=jnp.float32)
     o_ref[...] = jnp.log10(jnp.maximum(mel, 1e-10))
 

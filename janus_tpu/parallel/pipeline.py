@@ -26,7 +26,9 @@ __all__ = ["pipeline_apply", "split_encoder_stages", "stack_stage_params"]
 
 def stack_stage_params(stage_params: List[Any]) -> Any:
     """Stack per-stage param trees along a new leading stage axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *stage_params)
+    from janus_tpu.models.params import stack_layer_params
+
+    return stack_layer_params(stage_params)
 
 
 def pipeline_apply(

@@ -87,6 +87,15 @@ class SemanticEncoder:
             self._encode_impl, static_argnames=("n_16k_frames",)
         )
 
+    def mel_frame_budget(self, bucket: int) -> int:
+        """16 kHz mel frame budget for a 48 kHz sample bucket: even, ≥2,
+        capped at the 30 s encoder window. The single source of truth for
+        the ``n_16k_frames`` static arg (serving and analysis must compile
+        the same program)."""
+        n16 = min(bucket // 3 // self.cfg.asr.hop_length,
+                  2 * self.cfg.asr.max_source_positions)
+        return max(2, n16 - (n16 % 2))
+
     # -- device path -------------------------------------------------------
 
     def _encode_impl(self, params, audio_48k: jax.Array, n_valid: jax.Array,
@@ -197,10 +206,7 @@ class SemanticEncoder:
             n_valid[i] = len(p)
         # padded lanes keep n_valid=0; their outputs are discarded below
 
-        # 16 kHz mel frame budget for this bucket (even, capped at 30 s)
-        n16 = min(bucket // 3 // self.cfg.asr.hop_length,
-                  2 * self.cfg.asr.max_source_positions)
-        n16 = max(2, n16 - (n16 % 2))
+        n16 = self.mel_frame_budget(bucket)
 
         batch_j = jnp.asarray(batch)
         n_valid_j = jnp.asarray(n_valid)

@@ -51,12 +51,9 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    cache_dir = os.environ.get(
-        "JANUS_COMPILE_CACHE",
-        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from janus_tpu.common.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from janus_tpu.common.config import ASRConfig, JanusConfig
     from janus_tpu.models import asr as asr_mod
@@ -68,7 +65,9 @@ def main(argv=None) -> None:
 
     cfg = JanusConfig()
     if args.flagship:
-        cfg = type(cfg)(**{**cfg.__dict__, "asr": ASRConfig.large_v3()})
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, asr=ASRConfig.large_v3())
     cfg = cfg.override(**{"asr.max_decode_tokens": 24})
     acfg, pcfg = cfg.asr, cfg.prosody
 

@@ -46,13 +46,9 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    cache_dir = os.environ.get(
-        "JANUS_COMPILE_CACHE",
-        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from janus_tpu.common.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from janus_tpu.common.config import ASRConfig
     from janus_tpu.models import asr
@@ -62,7 +58,9 @@ def main(argv=None) -> None:
 
     cfg = ASRConfig.large_v3()
     if args.layers is not None:
-        cfg = type(cfg)(**{**cfg.__dict__, "encoder_layers": args.layers})
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, encoder_layers=args.layers)
     log(f"geometry: d_model={cfg.d_model} layers={cfg.encoder_layers} "
         f"heads={cfg.num_heads} n_mels={cfg.n_mels}")
 
