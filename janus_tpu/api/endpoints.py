@@ -2,12 +2,22 @@
 
 Parity with the reference (reference: backend/api/endpoints.py:22-86):
 ``GET /api/health`` → ``{"status": "ok"}``; ``POST /api/voice/verify``
-takes a multipart audio upload, transcribes it, fuzzy-matches against the
-pangram phrase at a 0.8 ratio, and on success saves the file as the
-voice-cloning reference audio (picked up by the synthesizer's mtime
-hot-reload). Unlike the reference — which instantiated a fresh Whisper
-model per request (endpoints.py:55, a documented quirk) — the encoder is
-shared.
+takes a multipart audio upload (frontend field name ``audio_file``,
+VoiceCloner.tsx:111), transcribes it, fuzzy-matches against the pangram
+phrase at a 0.8 ratio, and on success saves the file as the voice-cloning
+reference audio (picked up by the synthesizer's mtime hot-reload).
+
+The response is the reference wire contract the real frontend branches on
+(VoiceCloner.tsx:125-137 tests ``data.status === 'verified'`` exactly):
+``{"status": "verified"}`` on success, ``{"status": "failed",
+"transcript": ...}`` otherwise — including on transcription *errors*,
+which the reference also reports as a 200 "failed" with the error string
+as the transcript (endpoints.py:74-78). Richer diagnostic fields
+(``similarity``, ``expected_phrase``, ``transcript`` on success) are
+added on top; the frontend ignores unknown keys.
+
+Unlike the reference — which instantiated a fresh Whisper model per
+request (endpoints.py:55, a documented quirk) — the encoder is shared.
 """
 
 from __future__ import annotations
@@ -47,7 +57,12 @@ def make_voice_verify_handler(
             parts = parse_multipart(request.body, content_type)
         except ValueError as e:
             return Response.json({"detail": str(e)}, 400)
-        part = parts.get("file") or parts.get("audio") or next(iter(parts.values()), None)
+        part = (
+            parts.get("audio_file")  # the reference frontend's field name
+            or parts.get("file")
+            or parts.get("audio")
+            or next(iter(parts.values()), None)
+        )
         if part is None:
             return Response.json({"detail": "no file part"}, 400)
         _filename, data = part
@@ -58,9 +73,11 @@ def make_voice_verify_handler(
         try:
             transcript = transcribe_file(tmp_path)
         except Exception as e:
+            # Reference behavior: errors surface as a 200 "failed" response
+            # with the error text as the transcript (endpoints.py:74-78).
             logger.error("verify transcription failed: %s", e)
             os.unlink(tmp_path)
-            return Response.json({"detail": f"transcription failed: {e}"}, 500)
+            return Response.json({"status": "failed", "transcript": str(e)})
 
         ratio = difflib.SequenceMatcher(
             None, transcript.lower().strip(), cfg.verify_phrase.lower()
@@ -71,11 +88,12 @@ def make_voice_verify_handler(
                 f.write(data)
             logger.info("voice verified (ratio=%.3f) -> %s", ratio, target)
         os.unlink(tmp_path)
-        return Response.json({
-            "verified": verified,
-            "similarity": round(ratio, 4),
+        body = {
+            "status": "verified" if verified else "failed",
             "transcript": transcript,
+            "similarity": round(ratio, 4),
             "expected_phrase": cfg.verify_phrase,
-        })
+        }
+        return Response.json(body)
 
     return verify_voice

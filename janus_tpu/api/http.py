@@ -82,19 +82,29 @@ WsHandler = Callable[[asyncio.StreamReader, asyncio.StreamWriter, Request],
 
 
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, bytes]]:
-    """Extract multipart/form-data parts: name -> (filename, data)."""
+    """Extract multipart/form-data parts: name -> (filename, data).
+
+    Splits on the exact RFC 2046 delimiter ``CRLF--boundary`` so binary
+    payloads whose last bytes happen to be CR/LF survive byte-exact
+    (the voice-clone upload is saved verbatim as the reference audio).
+    """
     m = re.search(r'boundary="?([^";,]+)"?', content_type)
     if not m:
         raise ValueError("no multipart boundary")
     boundary = b"--" + m.group(1).encode()
+    segments = body.split(b"\r\n" + boundary)
+    # The first boundary opens the body with no preceding CRLF.
+    if segments[0].startswith(boundary):
+        segments[0] = segments[0][len(boundary):]
     parts: Dict[str, Tuple[str, bytes]] = {}
-    for chunk in body.split(boundary):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
+    for seg in segments:
+        if seg[:2] == b"--":  # closing delimiter
             continue
-        if b"\r\n\r\n" not in chunk:
+        if seg[:2] == b"\r\n":
+            seg = seg[2:]
+        if b"\r\n\r\n" not in seg:
             continue
-        header_blob, data = chunk.split(b"\r\n\r\n", 1)
+        header_blob, data = seg.split(b"\r\n\r\n", 1)
         headers = header_blob.decode("utf-8", "replace")
         name_m = re.search(r'name="([^"]+)"', headers)
         file_m = re.search(r'filename="([^"]*)"', headers)

@@ -68,13 +68,16 @@ class JanusServer:
         self.http.route("GET", "/", dashboard)
 
         def transcribe_file(path: str) -> str:
-            from janus_tpu.audio.wav import read_wav
+            # Sniffs WAV / WebM-Opus / Ogg-Opus — the formats the reference
+            # accepted via FFmpeg (reference: backend/services/transcriber.py:66-91;
+            # browser records audio/webm;codecs=opus, VoiceCloner.tsx:61-63).
+            from janus_tpu.audio.decode import read_audio
             import jax.numpy as jnp
             import numpy as np
 
             from janus_tpu.ops.resample import resample_poly
 
-            audio, sr = read_wav(path)
+            audio, sr = read_audio(path)
             if sr != 48_000:
                 audio = np.asarray(
                     resample_poly(jnp.asarray(audio), up=48_000, down=sr)

@@ -94,9 +94,11 @@ class Synthesizer:
     def _load_reference_audio(self, path: str) -> None:
         try:
             if os.path.exists(path):
-                from janus_tpu.audio.wav import read_wav
+                # The verify endpoint saves the browser upload verbatim, so
+                # the clone reference may be WebM/Opus, not WAV — sniff it.
+                from janus_tpu.audio.decode import read_audio
 
-                audio, sr = read_wav(path)
+                audio, sr = read_audio(path)
                 if sr == 48_000:
                     audio16 = np.asarray(decimate_48k_to_16k(jnp.asarray(audio)))
                 elif sr == 16_000:

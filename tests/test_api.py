@@ -91,14 +91,17 @@ def test_voice_verify_flow(server, tmp_path, monkeypatch):
     base = f"http://127.0.0.1:{server.http.bound_port}"
     wav_path = tmp_path / "up.wav"
     write_wav(str(wav_path), voiced_phrase(seconds=0.3), 48000)
-    files = {"file": ("up.wav", wav_path.read_bytes(), "audio/wav")}
+    # The reference frontend uploads the clip under the ``audio_file`` field
+    # (VoiceCloner.tsx:111) and branches on ``data.status === 'verified'``
+    # (VoiceCloner.tsx:125-137) — assert that exact wire shape.
+    files = {"audio_file": ("recording.wav", wav_path.read_bytes(), "audio/wav")}
 
     # untrained ASR -> transcript won't match the pangram -> not verified
     r = httpx.post(f"{base}/api/voice/verify", files=files, timeout=60)
     assert r.status_code == 200
     body = r.json()
-    assert body["verified"] is False
-    assert "similarity" in body and "transcript" in body
+    assert body["status"] == "failed"
+    assert isinstance(body["transcript"], str)
 
     # force a perfect transcription -> verified + reference audio saved
     monkeypatch.setattr(
@@ -108,7 +111,7 @@ def test_voice_verify_flow(server, tmp_path, monkeypatch):
                           "f0": 0.0, "rms": 0.0}],
     )
     r2 = httpx.post(f"{base}/api/voice/verify", files=files, timeout=60)
-    assert r2.json()["verified"] is True
+    assert r2.json()["status"] == "verified"
     assert (tmp_path / "ref.wav").exists()
 
 
