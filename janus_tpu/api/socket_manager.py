@@ -100,6 +100,11 @@ async def handle_janus_ws(ws: WebSocketConnection, state: EngineState) -> None:
         )
         for task in pending:
             task.cancel()
+        for task in done:  # retrieve, else asyncio logs "never retrieved"
+            try:
+                task.result()
+            except (ConnectionClosed, asyncio.CancelledError):
+                pass
     except ConnectionClosed:
         pass
     finally:

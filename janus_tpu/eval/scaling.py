@@ -212,10 +212,12 @@ def main(argv: Optional[list] = None) -> None:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
+    largest = rows[-1]["devices"] if rows else 0
     print(json.dumps({
-        "metric": "modeled_weak_scaling_efficiency_at_8",
+        "metric": f"modeled_weak_scaling_efficiency_at_{largest}",
         "value": rows[-1]["modeled_weak_scaling_efficiency"] if rows else None,
         "unit": "fraction",
+        "devices": largest,
         "vs_baseline": (rows[-1]["modeled_weak_scaling_efficiency"] / 0.8
                         if rows else None),
     }))

@@ -42,6 +42,10 @@ __all__ = [
 
 logger = logging.getLogger("janus.distributed")
 
+# Set once initialize_from_env succeeds; paired with
+# jax.distributed.is_initialized() so a re-import doesn't double-init.
+_initialized = False
+
 HYBRID_AXES: Tuple[str, str, str, str] = ("replica", "data", "model", "seq")
 
 
@@ -53,21 +57,20 @@ def initialize_from_env(env: Optional[dict] = None) -> bool:
     when only the coordinator is given). No-op — returning False — when
     unset (single-process dev/test) or when already initialized.
     """
+    global _initialized
     env = dict(os.environ if env is None else env)
     addr = env.get("JANUS_COORDINATOR_ADDRESS")
     if not addr:
         return False
-    try:
-        if jax._src.distributed.global_state.client is not None:  # noqa: SLF001
-            return False  # already initialized
-    except Exception:
-        pass
+    if _initialized or getattr(jax.distributed, "is_initialized", lambda: False)():
+        return False  # already initialized
     kwargs = {"coordinator_address": addr}
     if env.get("JANUS_NUM_PROCESSES"):
         kwargs["num_processes"] = int(env["JANUS_NUM_PROCESSES"])
     if env.get("JANUS_PROCESS_ID"):
         kwargs["process_id"] = int(env["JANUS_PROCESS_ID"])
     jax.distributed.initialize(**kwargs)
+    _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d, %d global devices",
         jax.process_index(), jax.process_count(), len(jax.devices()),

@@ -30,7 +30,15 @@ from janus_tpu.ops.energy import ENERGY_TAGS, classify_energy, rms_energy
 from janus_tpu.ops.resample import decimate_48k_to_16k
 from janus_tpu.ops.yin import PITCH_TAGS, classify_pitch, mean_voiced_pitch, yin_track
 
-__all__ = ["SemanticEncoder", "duration_bucket"]
+__all__ = ["SemanticEncoder", "duration_bucket", "mel_frame_budget"]
+
+
+def mel_frame_budget(acfg, bucket: int) -> int:
+    """16 kHz mel frame budget for a 48 kHz sample bucket (even, ≥2,
+    capped at the encoder window). Shared by serving and the profiler so
+    they always compile the same program."""
+    n16 = min(bucket // 3 // acfg.hop_length, 2 * acfg.max_source_positions)
+    return max(2, n16 - (n16 % 2))
 
 # Phrase duration buckets in 48 kHz samples (1.25 s ... 30 s). Chosen so
 # bucket[i+1] = 2*bucket[i]: at most 2x padding waste, ~5 compiled programs.
@@ -92,9 +100,7 @@ class SemanticEncoder:
         capped at the 30 s encoder window. The single source of truth for
         the ``n_16k_frames`` static arg (serving and analysis must compile
         the same program)."""
-        n16 = min(bucket // 3 // self.cfg.asr.hop_length,
-                  2 * self.cfg.asr.max_source_positions)
-        return max(2, n16 - (n16 % 2))
+        return mel_frame_budget(self.cfg.asr, bucket)
 
     # -- device path -------------------------------------------------------
 
@@ -141,15 +147,14 @@ class SemanticEncoder:
             return rms, energy_code, f0, pitch_code, mel
 
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             dp = P("data")
-            frontend = shard_map(
+            frontend = jax.shard_map(
                 frontend, mesh=self.mesh,
                 in_specs=(dp, dp),
                 out_specs=(dp, dp, dp, dp, P("data", None, None)),
-                check_rep=False,
+                check_vma=False,
             )
         rms, energy_code, f0, pitch_code, mel = frontend(audio_48k, n_valid)
         scan = acfg.scan_layers and (

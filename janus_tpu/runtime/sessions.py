@@ -20,6 +20,7 @@ few dict operations.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -52,7 +53,13 @@ class Session:
     vad_floor: float = 1e-3
     chunks_in: int = 0
     phrases_encoded: int = 0
-    paused: bool = False  # snapshot in progress: push_audio refuses
+    # snapshot-in-progress state: while paused, push_audio diverts into the
+    # bounded spill list (drained back into the ring, in order, when the
+    # snapshot finishes) so a 32 ms-cadence capture thread loses nothing.
+    paused: bool = False
+    spill: List[np.ndarray] = field(default_factory=list)
+    spill_budget: int = 0  # samples the spill may still accept
+    lock: "threading.Lock" = field(default_factory=lambda: threading.Lock())
 
 
 class SessionManager:
@@ -101,11 +108,23 @@ class SessionManager:
 
     def push_audio(self, session_id: str, samples: np.ndarray) -> bool:
         """Thread-safe: feed capture samples into the session's ring.
-        Returns False (caller retries) while a snapshot is in progress."""
+
+        A snapshot in progress does NOT reject audio: samples divert into
+        a bounded spill list (budgeted to the ring space that existed at
+        pause time, so the post-snapshot drain always fits) and are pushed
+        back in order when the snapshot completes. False means genuine
+        backpressure — the ring (or the spill budget standing in for it)
+        is full — exactly as in normal operation."""
         s = self.sessions[session_id]
-        if s.paused:
-            return False
-        return s.ring.push(samples)
+        with s.lock:
+            if s.paused:
+                samples = np.ascontiguousarray(samples, dtype=np.float32)
+                if samples.shape[0] > s.spill_budget:
+                    return False
+                s.spill.append(samples.copy())
+                s.spill_budget -= samples.shape[0]
+                return True
+            return s.ring.push(samples)
 
     # -- the batched tick --------------------------------------------------
 
@@ -216,17 +235,28 @@ class SessionManager:
         the reference)."""
         snap: Dict[str, Dict] = {}
         for sid, s in self.sessions.items():
-            # pause ingestion so the drain/refill below is atomic w.r.t.
-            # concurrent push_audio (capture threads see False and retry)
-            s.paused = True
+            # Pause ingestion so the drain/refill below is atomic w.r.t.
+            # concurrent push_audio. Capture threads keep landing audio in
+            # the bounded spill (sized to the ring space free at pause
+            # time), which drains back into the ring, in order, below —
+            # a 32 ms capture cadence loses nothing across a snapshot.
+            ring_cap = self._chunk * self.cfg.runtime.audio_queue_depth
+            with s.lock:
+                s.paused = True
+                s.spill_budget = max(0, ring_cap - len(s.ring))
             try:
                 ring_audio = s.ring.pop(len(s.ring)) if len(s.ring) else None
-                if ring_audio is not None and not s.ring.push(ring_audio):
-                    # cannot happen while paused (ring was just drained),
-                    # but never lose audio: carry it in the snapshot only
-                    logger.error("ring refill failed for %s", sid)
             finally:
-                s.paused = False
+                with s.lock:
+                    if ring_audio is not None and not s.ring.push(ring_audio):
+                        # cannot happen (ring was just drained), but never
+                        # lose audio silently
+                        logger.error("ring refill failed for %s", sid)
+                    for spilled in s.spill:
+                        if not s.ring.push(spilled):
+                            logger.error("spill drain overflow for %s", sid)
+                    s.spill.clear()
+                    s.paused = False
             seg = s.segmenter
             snap[sid] = {
                 "mode": s.mode,

@@ -84,8 +84,9 @@ def main(argv=None) -> None:
     params = cast_floating(asr_mod.init_asr(0, acfg), jnp.dtype(acfg.dtype))
     scan = acfg.scan_layers
 
-    n16 = min(bucket // 3 // acfg.hop_length, 2 * acfg.max_source_positions)
-    n16 = max(2, n16 - (n16 % 2))
+    from janus_tpu.runtime.codec import mel_frame_budget
+
+    n16 = mel_frame_budget(acfg, bucket)  # same program as serving
 
     stages = {}
 

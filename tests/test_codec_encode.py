@@ -67,14 +67,28 @@ def test_encode_batch_ragged_lengths_consistent(encoder):
     assert abs(solo["f0"] - joint["f0"]) < 1e-3
 
 
-def test_encode_packet_roundtrip(encoder):
+def test_encode_packet_roundtrip(encoder, monkeypatch):
+    """Both encode_packet branches, deterministically (no untrained-model
+    skip): a non-empty transcript round-trips through the wire; an empty
+    transcript produces no packet (reference: engine.py:536-552)."""
     phrase = voiced_phrase()
+    real = encoder.encode_batch([phrase])[0]  # real prosody, maybe-empty text
+
+    monkeypatch.setattr(
+        encoder, "encode_batch",
+        lambda phrases: [{**real, "text": "status report follows"}],
+    )
     pkt = encoder.encode_packet(phrase, mode=JanusMode.SEMANTIC_VOICE)
-    if pkt is None:  # untrained model may emit empty text
-        pytest.skip("untrained ASR emitted empty transcript")
+    assert pkt is not None
     back = JanusPacket.deserialize(pkt.serialize())
-    assert back.prosody == pkt.prosody
+    assert back.text == "status report follows"
+    assert back.prosody == pkt.prosody == real["prosody"]
     assert back.mode == JanusMode.SEMANTIC_VOICE
+
+    monkeypatch.setattr(
+        encoder, "encode_batch", lambda phrases: [{**real, "text": "  "}]
+    )
+    assert encoder.encode_packet(phrase) is None
 
 
 def test_mode_mappings():

@@ -141,3 +141,30 @@ def test_bounded_truncated_fft_exact_vs_full_length():
     assert _fast_fft_len(5304) == 5400
     assert _fast_fft_len(4097) == 4320
     assert _fast_fft_len(8192) == 8192
+
+
+@pytest.mark.parametrize("bounded", [False, True])
+def test_fast_path_matches_fft_fallback(bounded):
+    """yin_track's signal-level block-sum fast path (taken for the default
+    4096/512 geometry) must equal the per-window FFT fallback
+    (_hop_windows + yin_frame) on mixed tone/noise input."""
+    from janus_tpu.ops.yin import _hop_windows, yin_frame, yin_track
+
+    rng = np.random.default_rng(11)
+    sr = 48_000
+    t = np.arange(sr) / sr
+    tone = 0.2 * np.sin(2 * np.pi * 196.0 * t)
+    noise = 0.05 * rng.standard_normal(sr)
+    sig = np.stack([tone + noise, noise, tone]).astype(np.float32)
+    x = jnp.asarray(sig)
+
+    kw = {"fmin": 40.0, "fmax": 1000.0} if bounded else {}
+    fast = np.asarray(yin_track(x, sr, buf=4096, hop=512, **kw))
+    windows = _hop_windows(x.astype(jnp.float32), 4096, 512)
+    slow = np.asarray(yin_frame(windows, sr, 0.8, **kw))
+    assert fast.shape == slow.shape
+    # same voicing decisions, near-identical F0 where voiced
+    voiced_fast, voiced_slow = fast > 0, slow > 0
+    np.testing.assert_array_equal(voiced_fast, voiced_slow)
+    np.testing.assert_allclose(fast[voiced_fast], slow[voiced_slow],
+                               rtol=0, atol=0.01)

@@ -160,3 +160,45 @@ def test_failure_isolation(manager, monkeypatch):
     assert len(single_calls) >= 2  # fallback path actually exercised
     manager.remove_session("good")
     manager.remove_session("bad")
+
+
+def test_capture_during_snapshot_loses_nothing(manager):
+    """A capture thread pushing on a tight cadence across repeated
+    snapshots must lose zero samples and keep ordering (push_audio diverts
+    into the bounded spill while paused, drained back in order)."""
+    import threading
+    import time as _time
+
+    manager.add_session("snapper")
+    s = manager.sessions["snapper"]
+    accepted = []
+    stop = threading.Event()
+
+    def pusher():
+        i = 0
+        while not stop.is_set():
+            chunk = np.full(192, float(i % 997), dtype=np.float32)
+            if manager.push_audio("snapper", chunk):
+                accepted.append(chunk)
+            i += 1
+            _time.sleep(0.0005)
+
+    t = threading.Thread(target=pusher)
+    t.start()
+    try:
+        spilled_any = False
+        for _ in range(50):
+            manager.snapshot()
+            spilled_any = spilled_any or s.spill_budget > 0
+        # give the pusher a little more runway after the last snapshot
+        _time.sleep(0.01)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+
+    drained = s.ring.pop(len(s.ring))
+    expected = np.concatenate(accepted)
+    assert drained is not None
+    np.testing.assert_array_equal(drained, expected)
+    assert not s.paused and not s.spill
+    manager.remove_session("snapper")
