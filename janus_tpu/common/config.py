@@ -206,6 +206,17 @@ class RuntimeConfig:
     playback_queue_depth: int = 100
     ducking_level: float = 0.25
     executor_workers: int = 2
+    # Runtime overlap (SURVEY §2.4): encode programs are dispatched
+    # asynchronously and harvested on later ticks, so the tick loop keeps
+    # running VAD/segmentation for batch N+1 while batch N's encode is in
+    # flight on the device. 0 = synchronous (harvest same tick).
+    max_inflight_encodes: int = 2
+    # Double-buffered VAD dispatch: tick N dispatches the newest chunks'
+    # VAD program and consumes tick N-1's result, so the per-tick
+    # device->host sync overlaps the next dispatch (and, on hardware, the
+    # VAD compute itself). Costs one chunk (32 ms) of end-of-phrase
+    # detection latency — negligible vs the 500 ms silence threshold.
+    pipelined_vad: bool = True
 
 
 @dataclass(frozen=True)

@@ -159,8 +159,10 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
     if sp_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        batch_axis = ("data" if ("data" in sp_mesh.shape
+                                 and sp_mesh.shape["data"] > 1) else None)
         x = jax.lax.with_sharding_constraint(
-            x, NamedSharding(sp_mesh, P(None, "seq", None))
+            x, NamedSharding(sp_mesh, P(batch_axis, "seq", None))
         )
     if scan_layers and sp_mesh is None and len(enc["blocks"]) > 1:
         # lax.scan over stacked block params: one compiled block body

@@ -78,7 +78,11 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         _local_ring_attention, axis_name=axis_name, axis_size=axis_size,
         causal=causal,
     )
-    spec = P(None, None, axis_name, None)
+    # On a hybrid serving mesh (data × seq) the batch dim stays sharded
+    # over "data" — each data-group runs its own independent KV ring.
+    batch_axis = ("data" if ("data" in mesh.shape and mesh.shape["data"] > 1
+                             and axis_name != "data") else None)
+    spec = P(batch_axis, None, axis_name, None)
     return jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,

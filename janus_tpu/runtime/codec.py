@@ -30,7 +30,48 @@ from janus_tpu.ops.energy import ENERGY_TAGS, classify_energy, rms_energy
 from janus_tpu.ops.resample import decimate_48k_to_16k
 from janus_tpu.ops.yin import PITCH_TAGS, classify_pitch, mean_voiced_pitch, yin_track
 
-__all__ = ["SemanticEncoder", "duration_bucket", "mel_frame_budget"]
+__all__ = ["SemanticEncoder", "PendingEncode", "duration_bucket",
+           "mel_frame_budget"]
+
+
+class PendingEncode:
+    """Handle to an asynchronously dispatched encode program.
+
+    Holds only device arrays (JAX futures) — no host transfer happens
+    until :meth:`result`. ``is_ready`` polls completion without blocking,
+    letting a serving loop harvest finished batches opportunistically
+    while later batches' frontends run (SURVEY §2.4 runtime overlap; the
+    reference's analog was its playback queue + threads)."""
+
+    __slots__ = ("_encoder", "_arrays", "_b_real", "_out")
+
+    def __init__(self, encoder, arrays, b_real: int):
+        self._encoder = encoder
+        self._arrays = arrays
+        self._b_real = b_real
+        self._out = None
+
+    @classmethod
+    def done(cls, results: list) -> "PendingEncode":
+        p = cls(None, None, 0)
+        p._out = results
+        return p
+
+    def is_ready(self) -> bool:
+        """True when every output buffer is computed (no blocking)."""
+        if self._out is not None:
+            return True
+        try:
+            return all(a.is_ready() for a in self._arrays)
+        except AttributeError:  # backend without is_ready: treat as ready
+            return True
+
+    def result(self) -> list:
+        """Block until the program finishes; fetch + decode (idempotent)."""
+        if self._out is None:
+            self._out = self._encoder._finalize(self._arrays, self._b_real)
+            self._arrays = None  # release device buffers
+        return self._out
 
 
 def mel_frame_budget(acfg, bucket: int) -> int:
@@ -91,8 +132,14 @@ class SemanticEncoder:
         self.params = asr_params
         self._compute_dtype = dtype
         self.buckets = tuple(buckets)
+        # Donate the audio/n_valid buffers: XLA reuses them for scratch
+        # instead of holding both live (serving streams a fresh batch every
+        # dispatch, so nothing reads them afterwards). CPU has no donation
+        # — skip there to avoid a warning per compiled program in tests.
+        donate = (1, 2) if jax.default_backend() != "cpu" else ()
         self._encode_jit = jax.jit(
-            self._encode_impl, static_argnames=("n_16k_frames",)
+            self._encode_impl, static_argnames=("n_16k_frames",),
+            donate_argnums=donate,
         )
 
     def mel_frame_budget(self, bucket: int) -> int:
@@ -157,12 +204,17 @@ class SemanticEncoder:
                 check_vma=False,
             )
         rms, energy_code, f0, pitch_code, mel = frontend(audio_48k, n_valid)
-        scan = acfg.scan_layers and (
-            self.mesh is None or self.mesh.shape.get("seq", 1) == 1
+        # a mesh with a seq axis runs the encoder sequence-parallel: mel
+        # time sharded over "seq", exact attention via the ppermute KV ring
+        sp_mesh = (
+            self.mesh
+            if self.mesh is not None and self.mesh.shape.get("seq", 1) > 1
+            else None
         )
+        scan = acfg.scan_layers and sp_mesh is None
         enc = asr_mod.encode_audio(
             params, acfg, mel.astype(self._compute_dtype),
-            scan_layers=scan,
+            scan_layers=scan, sp_mesh=sp_mesh,
         )
         prompt = jnp.broadcast_to(
             jnp.asarray(self.tokenizer.sot_sequence(), dtype=jnp.int32),
@@ -185,15 +237,26 @@ class SemanticEncoder:
         to the next power of two (padded lanes are zero audio and get
         sliced off the results).
         """
+        return self.encode_batch_submit(phrases).result()
+
+    def encode_batch_submit(self, phrases: Sequence[np.ndarray]) -> "PendingEncode":
+        """Dispatch the encode program WITHOUT waiting: JAX async dispatch
+        returns device futures immediately, so the caller keeps doing host
+        work (VAD, segmentation, the next batch) while the program runs.
+        Harvest with :meth:`PendingEncode.result`; poll with
+        :meth:`PendingEncode.is_ready` to keep device→host syncs off the
+        hot path (SURVEY §2.4 runtime overlap)."""
         if not phrases:
-            return []
+            return PendingEncode.done([])
         max_bucket = self.buckets[-1]
         if any(len(p) > max_bucket for p in phrases):
             # phrases beyond the largest bucket are split into bucket-sized
             # chunks, encoded as extra lanes, and merged afterwards (the
             # reference transcribed arbitrarily long buffers; truncating
-            # here would silently drop tail audio)
-            return self._encode_with_splitting(phrases, max_bucket)
+            # here would silently drop tail audio). Rare path; synchronous.
+            return PendingEncode.done(
+                self._encode_with_splitting(phrases, max_bucket)
+            )
         bucket = duration_bucket(max(len(p) for p in phrases), self.buckets)
         b_real = len(phrases)
         b_pad = 1 << (b_real - 1).bit_length()  # next power of two
@@ -221,15 +284,14 @@ class SemanticEncoder:
             data_shard = NamedSharding(self.mesh, P("data"))
             batch_j = jax.device_put(batch_j, data_shard)
             n_valid_j = jax.device_put(n_valid_j, data_shard)
-        tokens, e_code, p_code, f0, rms = self._encode_jit(
+        arrays = self._encode_jit(
             self.params, batch_j, n_valid_j, n_16k_frames=n16
         )
-        tokens = np.asarray(tokens)
-        e_code = np.asarray(e_code)
-        p_code = np.asarray(p_code)
-        f0 = np.asarray(f0)
-        rms = np.asarray(rms)
+        return PendingEncode(self, arrays, b_real)
 
+    def _finalize(self, arrays, b_real: int) -> list:
+        """Host fetch + token decode for a dispatched encode program."""
+        tokens, e_code, p_code, f0, rms = (np.asarray(a) for a in arrays)
         out = []
         for i in range(b_real):
             ids = tokens[i]

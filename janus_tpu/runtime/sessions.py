@@ -15,6 +15,13 @@ through *batched* jitted programs:
 Chunks ride the native SPSC ring buffers (libjanus_host) from capture
 threads into the tick loop, so the Python-side cost per session-tick is a
 few dict operations.
+
+Runtime overlap (SURVEY §2.4): encode programs are dispatched
+asynchronously (``SemanticEncoder.encode_batch_submit``) and harvested on
+later ticks once the device reports them done, so batch N's encode runs
+on the accelerator while the host drains rings and runs VAD/segmentation
+for batch N+1. ``runtime.max_inflight_encodes`` bounds the window
+(0 = synchronous); ``flush()`` drains it at stream end / pre-snapshot.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from __future__ import annotations
 import logging
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -30,7 +38,7 @@ import numpy as np
 from janus_tpu.common.config import JanusConfig
 from janus_tpu.common.protocol import JanusMode, JanusPacket
 from janus_tpu.native import RingBuffer
-from janus_tpu.runtime.codec import SemanticEncoder
+from janus_tpu.runtime.codec import PendingEncode, SemanticEncoder
 from janus_tpu.runtime.emotion import api_mode_to_protocol
 from janus_tpu.runtime.segmenter import PhraseSegmenter, SegmenterEvent
 
@@ -83,6 +91,12 @@ class SessionManager:
             self.cfg.vad.backend == "model" and vad_params is not None
         )
         self._chunk = self.cfg.audio.chunk_samples
+        # Runtime overlap (SURVEY §2.4): encode programs dispatched but not
+        # yet harvested. FIFO preserves per-session packet order.
+        self._inflight: "deque[Tuple[List[Tuple[Session, np.ndarray]], PendingEncode]]" = deque()
+        # Double-buffered VAD: (sessions, chunks, device prob/floor arrays)
+        # dispatched last tick, consumed this tick.
+        self._vad_inflight: Optional[Tuple[List[Session], List[np.ndarray], tuple]] = None
 
     # -- session lifecycle -------------------------------------------------
 
@@ -131,12 +145,13 @@ class SessionManager:
     def tick(self) -> List[Tuple[str, JanusPacket]]:
         """Drain one chunk per session, run batched VAD + segmentation, and
         encode every completed phrase in one program. Returns the packets
-        produced this tick (also delivered via ``on_packet``)."""
-        import jax.numpy as jnp
+        produced this tick (also delivered via ``on_packet``).
 
-        from janus_tpu.models.vad import energy_gate_prob
-        from janus_tpu.ops.resample import decimate_48k_to_16k
-
+        With ``runtime.pipelined_vad`` (default) the VAD program for this
+        tick's chunks is dispatched and the PREVIOUS tick's result is
+        consumed, so the device→host sync of batch N overlaps the dispatch
+        of batch N+1; encode programs likewise dispatch here and harvest on
+        a later tick (``runtime.max_inflight_encodes``)."""
         active: List[Session] = []
         chunks: List[np.ndarray] = []
         for s in self.sessions.values():
@@ -149,64 +164,133 @@ class SessionManager:
             active.append(s)
             chunks.append(chunk)
 
-        if not active:
-            return []
+        if self.cfg.runtime.pipelined_vad:
+            dispatched = (
+                (active, chunks, self._dispatch_vad(chunks, active))
+                if active else None
+            )
+            scored, self._vad_inflight = self._vad_inflight, dispatched
+        else:
+            scored = (active, chunks, self._dispatch_vad(chunks, active)) \
+                if active else None
 
-        # one jitted call scores every session's chunk
+        phrases = self._consume_vad(scored)
+
+        if phrases:
+            # Runtime overlap: DISPATCH the encode program and return to
+            # the tick loop immediately — batch N runs on the device while
+            # the host drains chunks and runs VAD/segmentation for batch
+            # N+1. Harvest happens below, only when the device is done (or
+            # when the in-flight window fills: bounded memory, natural
+            # backpressure).
+            self._inflight.append((phrases, self._submit_isolated(phrases)))
+
+        out: List[Tuple[str, JanusPacket]] = []
+        max_inflight = self.cfg.runtime.max_inflight_encodes
+        while self._inflight and self._inflight[0][1].is_ready():
+            out.extend(self._harvest_oldest())
+        while len(self._inflight) > max_inflight:  # blocking backpressure
+            out.extend(self._harvest_oldest())
+        return out
+
+    def flush(self) -> List[Tuple[str, JanusPacket]]:
+        """Drain both pipeline stages — consume the in-flight VAD batch
+        (which may complete phrases and dispatch a final encode) and then
+        block-harvest every dispatched encode. Use at end of stream,
+        pre-snapshot, or in tests wanting synchronous semantics."""
+        scored, self._vad_inflight = self._vad_inflight, None
+        phrases = self._consume_vad(scored)
+        if phrases:
+            self._inflight.append((phrases, self._submit_isolated(phrases)))
+        out: List[Tuple[str, JanusPacket]] = []
+        while self._inflight:
+            out.extend(self._harvest_oldest())
+        return out
+
+    def _dispatch_vad(self, chunks: List[np.ndarray],
+                      active: List[Session]) -> tuple:
+        """Dispatch one jitted VAD call scoring every session's newest
+        chunk; returns DEVICE arrays (probs, new_floors) — no host sync.
+        Under pipelining the energy-gate floor a dispatch sees is one tick
+        stale (its update lands at harvest); the floor is an EMA, so the
+        one-chunk lag is immaterial."""
+        import jax.numpy as jnp
+
+        from janus_tpu.models.vad import energy_gate_prob
+        from janus_tpu.ops.resample import decimate_48k_to_16k
+
         batch = jnp.asarray(np.stack(chunks))
-        floors = jnp.asarray(np.asarray([s.vad_floor for s in active], np.float32))
+        floors = jnp.asarray(
+            np.asarray([s.vad_floor for s in active], np.float32)
+        )
         if self._use_model_vad:
             from janus_tpu.models.vad import vad_model_prob
 
-            probs = np.asarray(
-                vad_model_prob(self._vad_params, decimate_48k_to_16k(batch))
-            )
-            new_floors = np.asarray(floors)
-        else:
-            probs, new_floors = energy_gate_prob(
-                decimate_48k_to_16k(batch), floors, self.cfg.vad.energy_gate_rms
-            )
-            probs = np.asarray(probs)
-            new_floors = np.asarray(new_floors)
+            probs = vad_model_prob(self._vad_params, decimate_48k_to_16k(batch))
+            return probs, floors
+        return energy_gate_prob(
+            decimate_48k_to_16k(batch), floors, self.cfg.vad.energy_gate_rms
+        )
 
+    def _consume_vad(self, scored) -> List[Tuple[Session, np.ndarray]]:
+        """Host-sync a dispatched VAD batch and run segmentation on it."""
         phrases: List[Tuple[Session, np.ndarray]] = []
-        for s, chunk, p, fl in zip(active, chunks, probs, new_floors):
+        if scored is None:
+            return phrases
+        v_sessions, v_chunks, v_arrays = scored
+        probs, new_floors = (np.asarray(a) for a in v_arrays)
+        for s, chunk, p, fl in zip(v_sessions, v_chunks, probs, new_floors):
+            if s.session_id not in self.sessions:
+                continue  # removed while its VAD was in flight
             s.vad_floor = float(fl)
             non_vad = s.mode in ("morse", "text_only")
             is_speech = non_vad or (p > self.cfg.vad.threshold)
             r = s.segmenter.push_streaming(chunk, is_speech)
             if r.event is SegmenterEvent.PHRASE_READY:
                 phrases.append((s, r.phrase))
+        return phrases
 
-        out: List[Tuple[str, JanusPacket]] = []
-        if phrases:
-            encoded = self._encode_isolated(phrases)
-            for (s, _), res in zip(phrases, encoded):
-                s.phrases_encoded += 1
-                if res is None or not res["text"].strip():
-                    continue
-                packet = JanusPacket(
-                    text=res["text"],
-                    mode=api_mode_to_protocol(s.mode),
-                    prosody=res["prosody"],
-                    override_emotion=s.override_emotion,
-                )
-                s.packets_out.append(packet)
-                out.append((s.session_id, packet))
-                if self.on_packet is not None:
-                    self.on_packet(s.session_id, packet)
-        return out
-
-    def _encode_isolated(self, phrases: List[Tuple[Session, np.ndarray]]) -> List:
-        """Batch-encode with per-session failure isolation: if the batched
-        program fails, fall back to encoding one phrase at a time so a
-        poisoned session degrades alone (the batched analog of the
-        reference's per-stage try/except ladder; reference:
-        backend/services/engine.py:510-526)."""
+    def _submit_isolated(self, phrases: List[Tuple[Session, np.ndarray]]
+                         ) -> PendingEncode:
+        """Dispatch the batched encode; dispatch-time failures degrade to
+        a synchronous per-phrase pass immediately."""
         try:
-            return self.encoder.encode_batch([p for _, p in phrases])
+            return self.encoder.encode_batch_submit([p for _, p in phrases])
+        except Exception as e:
+            logger.error("batched encode dispatch failed (%s); isolating", e)
+            return PendingEncode.done(self._encode_per_phrase(phrases))
+
+    def _harvest_oldest(self) -> List[Tuple[str, JanusPacket]]:
+        """Pop the oldest in-flight encode (FIFO keeps per-session packet
+        order), with the per-session failure-isolation ladder: if the
+        batched program fails at completion, re-encode one phrase at a
+        time so a poisoned session degrades alone (the batched analog of
+        the reference's per-stage try/except ladder; reference:
+        backend/services/engine.py:510-526)."""
+        phrases, pending = self._inflight.popleft()
+        try:
+            encoded = pending.result()
         except Exception as e:
             logger.error("batched encode failed (%s); isolating per session", e)
+            encoded = self._encode_per_phrase(phrases)
+        out: List[Tuple[str, JanusPacket]] = []
+        for (s, _), res in zip(phrases, encoded):
+            s.phrases_encoded += 1
+            if res is None or not res["text"].strip():
+                continue
+            packet = JanusPacket(
+                text=res["text"],
+                mode=api_mode_to_protocol(s.mode),
+                prosody=res["prosody"],
+                override_emotion=s.override_emotion,
+            )
+            s.packets_out.append(packet)
+            out.append((s.session_id, packet))
+            if self.on_packet is not None:
+                self.on_packet(s.session_id, packet)
+        return out
+
+    def _encode_per_phrase(self, phrases: List[Tuple[Session, np.ndarray]]) -> List:
         results: List = []
         for s, phrase in phrases:
             try:
@@ -217,12 +301,14 @@ class SessionManager:
         return results
 
     def run(self, stop_check: Callable[[], bool], tick_sleep: float = 0.0) -> int:
-        """Tick until ``stop_check()`` is True; returns packets produced."""
+        """Tick until ``stop_check()`` is True; returns packets produced
+        (including a final flush of in-flight encodes)."""
         total = 0
         while not stop_check():
             total += len(self.tick())
             if tick_sleep:
                 time.sleep(tick_sleep)
+        total += len(self.flush())
         return total
 
     # -- checkpoint / resume -----------------------------------------------
@@ -233,6 +319,7 @@ class SessionManager:
         — the serving analog of model checkpointing, enabling live session
         migration/restart (SURVEY.md §5: checkpoint/resume was absent in
         the reference)."""
+        self.flush()  # in-flight encodes belong to the pre-snapshot epoch
         snap: Dict[str, Dict] = {}
         for sid, s in self.sessions.items():
             # Pause ingestion so the drain/refill below is atomic w.r.t.
@@ -295,6 +382,11 @@ class SessionManager:
                 s.ring.push(np.asarray(st["ring_audio"], dtype=np.float32))
 
     # -- introspection -----------------------------------------------------
+
+    @property
+    def inflight_encodes(self) -> int:
+        """Encode programs dispatched but not yet harvested."""
+        return len(self._inflight)
 
     def stats(self) -> Dict[str, Dict]:
         return {

@@ -51,3 +51,54 @@ def test_modeled_weak_scaling_meets_target():
     f1, f2 = rows[0]["per_device_flops"], rows[1]["per_device_flops"]
     assert f2 < 1.15 * f1, (f1, f2)
     assert eff >= 0.8, rows
+
+
+def test_seq_and_hybrid_meshes_match_unsharded():
+    """The seq-parallel (ring attention) and hybrid data x tp x seq serving
+    programs must produce the unsharded encoder's exact outputs."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from janus_tpu.audio.synthetic import voiced_phrase
+    from janus_tpu.common.config import JanusConfig, MeshConfig
+    from janus_tpu.parallel.mesh import build_mesh
+    from janus_tpu.runtime.codec import SemanticEncoder
+
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64, "asr.encoder_layers": 2, "asr.decoder_layers": 1,
+        "asr.num_heads": 4, "asr.n_mels": 16, "asr.vocab_size": 261,
+        "asr.max_source_positions": 256, "asr.max_target_positions": 32,
+        "asr.max_decode_tokens": 4,
+    })
+    phrases = [voiced_phrase(seconds=0.7, f0=120.0 + 40 * i, amp=0.2, seed=i)
+               for i in range(4)]
+    ref = SemanticEncoder(cfg, buckets=(48_000,)).encode_batch(phrases)
+    for mc in (MeshConfig(data=1, model=1, seq=2),
+               MeshConfig(data=2, model=2, seq=2)):
+        enc = SemanticEncoder(cfg, buckets=(48_000,), mesh=build_mesh(mc))
+        out = enc.encode_batch(phrases)
+        for o, r in zip(out, ref):
+            assert o["text"] == r["text"]
+            assert o["prosody"] == r["prosody"]
+            assert abs(o["f0"] - r["f0"]) < 0.5
+
+
+def test_wallclock_weak_scaling_runs():
+    """Real wall-clock rows on the virtual mesh: shape + sane efficiency."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual CPU) mesh")
+    from janus_tpu.common.config import JanusConfig
+    from janus_tpu.eval.scaling import measure_wallclock_scaling
+
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64, "asr.encoder_layers": 2, "asr.decoder_layers": 2,
+        "asr.num_heads": 4, "asr.vocab_size": 300,
+        "asr.max_source_positions": 128, "asr.max_decode_tokens": 4,
+    })
+    rows = measure_wallclock_scaling(
+        device_counts=(1, 2), seconds=1.0, cfg=cfg, per_device_batch=2,
+        iters=2)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["wallclock_efficiency_vs_linear"] == 1.0
+    assert rows[1]["wallclock_step_s"] > 0

@@ -21,8 +21,10 @@ def manager():
     })
 
     class FixedText(SemanticEncoder):
-        def encode_batch(self, phrases):
-            out = super().encode_batch(phrases)
+        # _finalize is the host-decode hook shared by the sync and the
+        # async-submit paths, so the fixed text applies to both
+        def _finalize(self, arrays, b_real):
+            out = super()._finalize(arrays, b_real)
             for i, r in enumerate(out):
                 r["text"] = f"phrase {i}"
             return out
@@ -126,40 +128,66 @@ def test_snapshot_restore_resumes_mid_phrase(manager):
     manager.remove_session("resume")
 
 
-def test_failure_isolation(manager, monkeypatch):
-    """One poisoned session must not take down the others' packets."""
-    from janus_tpu.audio.synthetic import conversation
+def _run_isolation_case(manager, monkeypatch, poison_at):
+    """One poisoned session must not take down the others' packets.
 
-    a = manager.add_session("good")
-    b = manager.add_session("bad")
+    ``poison_at`` selects where the batched program dies: 'dispatch'
+    (encode_batch_submit raises) or 'completion' (the async program fails
+    at harvest time — PendingEncode.result raises)."""
+    from janus_tpu.audio.synthetic import conversation
+    from janus_tpu.runtime.codec import PendingEncode
+
+    manager.add_session("good")
+    manager.add_session("bad")
     for sid in ("good", "bad"):
         manager.push_audio(sid, conversation(turns=1, speech_seconds=1.0,
                                              silence_seconds=1.0, amp=0.3))
 
-    real = type(manager.encoder).encode_batch
+    real_submit = type(manager.encoder).encode_batch_submit
     single_calls = []
 
-    def batch_hook(phrases):
+    class ExplodingPending(PendingEncode):
+        def __init__(self):
+            pass
+
+        def is_ready(self):
+            return True
+
+        def result(self):
+            raise RuntimeError("batched program crashed at completion")
+
+    def submit_hook(phrases):
         if len(phrases) > 1:
-            raise RuntimeError("batched program crashed")
+            if poison_at == "dispatch":
+                raise RuntimeError("batched program crashed at dispatch")
+            return ExplodingPending()
         # per-phrase retries run in session order (good first, bad second):
         # poison the second one
         single_calls.append(len(phrases))
         if len(single_calls) == 2:
             raise RuntimeError("poisoned phrase")
-        return real(manager.encoder, phrases)
+        return real_submit(manager.encoder, phrases)
 
-    monkeypatch.setattr(manager.encoder, "encode_batch", batch_hook)
+    monkeypatch.setattr(manager.encoder, "encode_batch_submit", submit_hook)
 
     packets = []
     for _ in range(80):
         packets.extend(manager.tick())
+    packets.extend(manager.flush())
     sids = {sid for sid, _ in packets}
     assert "good" in sids  # survivor unaffected
     assert "bad" not in sids  # poisoned session degraded alone
     assert len(single_calls) >= 2  # fallback path actually exercised
     manager.remove_session("good")
     manager.remove_session("bad")
+
+
+def test_failure_isolation_at_dispatch(manager, monkeypatch):
+    _run_isolation_case(manager, monkeypatch, "dispatch")
+
+
+def test_failure_isolation_at_completion(manager, monkeypatch):
+    _run_isolation_case(manager, monkeypatch, "completion")
 
 
 def test_capture_during_snapshot_loses_nothing(manager):
@@ -202,3 +230,61 @@ def test_capture_during_snapshot_loses_nothing(manager):
     np.testing.assert_array_equal(drained, expected)
     assert not s.paused and not s.spill
     manager.remove_session("snapper")
+
+
+def test_overlap_defers_harvest_until_device_done(manager, monkeypatch):
+    """tick() must NOT block on an unfinished encode: the packet appears
+    on a later tick once the device reports done, the in-flight window
+    stays visible, and flush() force-drains. (SURVEY §2.4 runtime overlap.)"""
+    from janus_tpu.audio.synthetic import conversation
+    from janus_tpu.runtime.codec import PendingEncode
+
+    manager.add_session("ov")
+    manager.push_audio("ov", conversation(turns=1, speech_seconds=1.0,
+                                          silence_seconds=1.0, amp=0.3))
+
+    real_submit = type(manager.encoder).encode_batch_submit
+
+    class SlowPending:
+        """Wraps the real pending but reports not-ready for N polls."""
+
+        def __init__(self, inner, not_ready_polls=3):
+            self.inner = inner
+            self.polls_left = not_ready_polls
+
+        def is_ready(self):
+            if self.polls_left > 0:
+                self.polls_left -= 1
+                return False
+            return True
+
+        def result(self):
+            return self.inner.result()
+
+    submitted = []
+
+    def submit_hook(phrases):
+        p = SlowPending(real_submit(manager.encoder, phrases))
+        submitted.append(p)
+        return p
+
+    monkeypatch.setattr(manager.encoder, "encode_batch_submit", submit_hook)
+
+    packets = []
+    dispatch_tick = None
+    harvest_tick = None
+    for k in range(200):
+        got = manager.tick()
+        packets.extend(got)
+        if submitted and dispatch_tick is None:
+            dispatch_tick = k
+        if got and harvest_tick is None:
+            harvest_tick = k
+            break
+    assert dispatch_tick is not None and harvest_tick is not None
+    # the encode was dispatched on an earlier tick than it was harvested
+    assert harvest_tick > dispatch_tick
+    assert manager.inflight_encodes == 0
+    assert packets and packets[0][0] == "ov"
+    assert manager.flush() == []
+    manager.remove_session("ov")
