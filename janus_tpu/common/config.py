@@ -217,6 +217,9 @@ class RuntimeConfig:
     # VAD compute itself). Costs one chunk (32 ms) of end-of-phrase
     # detection latency — negligible vs the 500 ms silence threshold.
     pipelined_vad: bool = True
+    # Receiver plays synthesized audio chunk-by-chunk as the TTS generates
+    # (streaming turnaround) instead of waiting for the full clip.
+    streaming_playback: bool = True
 
 
 @dataclass(frozen=True)

@@ -43,6 +43,9 @@ __all__ = [
     "tts_forward",
     "tts_generate",
     "TTSState",
+    "audio_pos_base",
+    "text_bucket",
+    "text_buckets",
 ]
 
 Params = Dict
@@ -178,13 +181,45 @@ def _make_state(cfg: TTSConfig, batch: int, cache_len: int,
     ))
 
 
+def text_bucket(n: int, max_text_tokens: int, floor: int = 8) -> int:
+    """Smallest power-of-two text width ≥ n (≥ ``floor``, capped at
+    ``max_text_tokens``). Serving pads prompts to these buckets
+    (recompile-free) and training jitters prompt widths over the same set,
+    so any bucket is an in-distribution prompt length."""
+    b = floor
+    while b < n and b < max_text_tokens:
+        b *= 2
+    return min(b, max_text_tokens)
+
+
+def text_buckets(max_text_tokens: int, floor: int = 8) -> Tuple[int, ...]:
+    """All serving text buckets for a config (see :func:`text_bucket`)."""
+    out = []
+    b = floor
+    while b < max_text_tokens:
+        out.append(b)
+        b *= 2
+    out.append(max_text_tokens)
+    return tuple(out)
+
+
+def audio_pos_base(cfg: TTSConfig) -> int:
+    """First position index of the audio stream.
+
+    Audio tokens get positions ``audio_pos_base + group_index`` regardless
+    of the prompt's actual length, so generation dynamics are identical
+    for any text length ≤ ``max_text_tokens`` — serving no longer needs to
+    pad text to the exact trained width (round-1 landmine: the decoder-only
+    absolute ``pos_emb`` made everything position-sensitive)."""
+    return cfg.max_text_tokens + 3  # [SPK] [EMO] text [BOA]
+
+
 def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
-                      pos_offset: jax.Array, state: TTSState
+                      positions: jax.Array, state: TTSState
                       ) -> Tuple[jax.Array, jax.Array, TTSState]:
-    """Shared trunk over already-embedded inputs ``[..., S, d]``.
+    """Shared trunk over already-embedded inputs ``[..., S, d]`` with
+    explicit position indices ``positions[..., S]``.
     Returns (mel_out [..., S, r*n_mels], stop_logit [..., S], new_state)."""
-    t_new = x.shape[-2]
-    positions = pos_offset[..., None] + jnp.arange(t_new)
     x = x + embedding_lookup(params["pos_emb"], positions)
     if isinstance(state.caches, KVCache):
         stacked = (params["blocks"] if isinstance(params["blocks"], dict)
@@ -245,11 +280,15 @@ def tts_forward(params: Params, cfg: TTSConfig, text_ids: jax.Array,
 
     b = text_ids.shape[0]
     total = x.shape[1]
-    state = _make_state(cfg, b, total)
-    mel, stop, _ = _forward_embedded(
-        params, cfg, x, jnp.zeros((b,), jnp.int32), state
-    )
     p = prompt.shape[1]
+    base = audio_pos_base(cfg)
+    # prompt at 0..P-1; audio groups at the FIXED base (text-length
+    # invariant — see audio_pos_base)
+    positions = jnp.concatenate(
+        [jnp.arange(p), base + jnp.arange(total - p)]
+    )[None, :]
+    state = _make_state(cfg, b, total)
+    mel, stop, _ = _forward_embedded(params, cfg, x, positions, state)
     # outputs at positions [p-1, total): predictions for each mel group
     return mel[:, p - 1 :, :], stop[:, p - 1 :]
 
@@ -273,9 +312,10 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         params = _prestack(params)
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
     cache_len = prompt.shape[1] + max_groups
+    base = audio_pos_base(cfg)
     state = _make_state(cfg, b, cache_len)
     mel0, stop0, state = _forward_embedded(
-        params, cfg, prompt, jnp.zeros((b,), jnp.int32), state
+        params, cfg, prompt, jnp.arange(prompt.shape[1])[None, :], state
     )
     first = mel0[:, -1, :]  # prediction for group 0
 
@@ -292,7 +332,9 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         step, out, done, n_groups, state = carry
         prev = jax.lax.dynamic_slice_in_dim(out, step - 1, 1, axis=1)  # [B,1,rm]
         x = _embed_mel(params, prev)
-        pos = state.fill
+        # audio group g sits at the FIXED position base + g, independent
+        # of the prompt length (audio_pos_base)
+        pos = jnp.full((b, 1), base + step - 1, dtype=jnp.int32)
         mel, stop, state = _forward_embedded(params, cfg, x, pos, state)
         nxt = mel[:, 0, :]
         nxt = jnp.where(done[:, None], 0.0, nxt)
@@ -306,3 +348,70 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
     )
     mel = out.reshape(b, max_groups * cfg.reduction, cfg.n_mels)
     return mel, n_groups * cfg.reduction
+
+
+# --------------------------------------------------------------------------
+# chunked generation (streaming synthesis)
+# --------------------------------------------------------------------------
+
+def tts_prefill(params: Params, cfg: TTSConfig, text_ids: jax.Array,
+                emotion: jax.Array, speaker: Optional[jax.Array] = None,
+                max_groups: Optional[int] = None, text_vocab: int = 261,
+                stop_threshold: float = 0.5
+                ) -> Tuple[jax.Array, jax.Array, TTSState]:
+    """Prompt prefill for chunked (streaming) generation.
+
+    Returns ``(group0[B, r*n_mels], done[B], state)`` — the same first
+    step :func:`tts_generate` takes, but exposing the KV state so the host
+    can drive generation in chunks and vocode/emit audio as groups land
+    (SURVEY §2.4 runtime overlap; turnaround latency vs the reference's
+    2.8–3.0 s cloud round trip)."""
+    if max_groups is None:
+        max_groups = cfg.max_mel_frames // cfg.reduction
+    if cfg.scan_layers:
+        params = _prestack(params)
+    b = text_ids.shape[0]
+    prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
+    state = _make_state(cfg, b, prompt.shape[1] + max_groups)
+    mel0, stop0, state = _forward_embedded(
+        params, cfg, prompt, jnp.arange(prompt.shape[1])[None, :], state
+    )
+    first = mel0[:, -1, :]
+    done = jax.nn.sigmoid(stop0[:, -1]) > stop_threshold
+    return first, done, state
+
+
+def tts_decode_chunk(params: Params, cfg: TTSConfig, state: TTSState,
+                     prev_group: jax.Array, done: jax.Array,
+                     start_group: jax.Array, n_steps: int,
+                     stop_threshold: float = 0.5
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array, TTSState]:
+    """Generate ``n_steps`` further mel groups from a prefilled state.
+
+    ``prev_group[B, r*n_mels]`` is the last generated group (input to the
+    first step); ``start_group`` its index. Returns
+    ``(groups[B, n_steps, r*n_mels], dones[B, n_steps], last_group, done,
+    state)`` with zeros after each sequence's stop — bit-matching what
+    :func:`tts_generate` writes into its output buffer, so chunked and
+    fused generation produce identical mel. ``dones[:, i]`` is the done
+    flag BEFORE emitting group i (True ⇒ that group is padding zeros)."""
+    if cfg.scan_layers:
+        params = _prestack(params)
+    b = prev_group.shape[0]
+    base = audio_pos_base(cfg)
+
+    def body(carry, step):
+        prev, done, state = carry
+        x = _embed_mel(params, prev[:, None, :])
+        pos = jnp.full((b, 1), base + start_group + step, dtype=jnp.int32)
+        mel, stop, state = _forward_embedded(params, cfg, x, pos, state)
+        nxt = jnp.where(done[:, None], 0.0, mel[:, 0, :])
+        was_done = done
+        done = done | (jax.nn.sigmoid(stop[:, 0]) > stop_threshold)
+        return (nxt, done, state), (nxt, was_done)
+
+    (last, done, state), (groups, dones) = jax.lax.scan(
+        body, (prev_group, done, state), jnp.arange(n_steps)
+    )
+    return (jnp.swapaxes(groups, 0, 1), jnp.swapaxes(dones, 0, 1),
+            last, done, state)

@@ -26,7 +26,8 @@ from janus_tpu.models.params import KeyGen, normal_init
 from janus_tpu.ops.layers import gelu, layer_norm, linear
 from janus_tpu.ops.stft import hann_window, istft
 
-__all__ = ["init_vocoder", "vocoder_waveform"]
+__all__ = ["init_vocoder", "vocoder_waveform", "vocoder_spectra",
+           "spectra_to_waveform", "vocoder_halo_frames"]
 
 Params = Dict
 
@@ -70,9 +71,15 @@ def _depthwise_conv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return y + b
 
 
-def vocoder_waveform(params: Params, cfg: VocoderConfig, mel: jax.Array,
-                     length: Optional[int] = None) -> jax.Array:
-    """``mel[..., T, n_mels] -> waveform[..., T*hop]``."""
+def vocoder_spectra(params: Params, cfg: VocoderConfig,
+                    mel: jax.Array) -> jax.Array:
+    """``mel[..., T, n_mels] -> complex spec[..., T, n_fft//2+1]``.
+
+    The frame-local half of the vocoder: ConvNeXt backbone + mag/phase
+    heads. Frame f's spectrum depends only on mel frames within
+    ``3 * layers`` (depthwise k=7 ⇒ 3 per block) — the property chunked
+    streaming synthesis exploits (:mod:`janus_tpu.runtime.streaming_tts`).
+    """
     x = linear(mel, params["embed"]["w"], params["embed"]["b"])
     for blk in params["blocks"]:
         h = _depthwise_conv(x, blk["dwconv"]["w"], blk["dwconv"]["b"])
@@ -88,15 +95,38 @@ def vocoder_waveform(params: Params, cfg: VocoderConfig, mel: jax.Array,
     n_bins = cfg.n_fft // 2 + 1
     cos_p, sin_p = ph[..., :n_bins], ph[..., n_bins:]
     norm = jax.lax.rsqrt(cos_p**2 + sin_p**2 + 1e-7)
-    spec = (mag * cos_p * norm) + 1j * (mag * sin_p * norm)
+    return (mag * cos_p * norm) + 1j * (mag * sin_p * norm)
 
-    # Repeat the final frame so the centered iSTFT's edge trim still yields
-    # the full T*hop samples (overlap-add covers hop*(n_frames-1)).
-    extra = cfg.n_fft // cfg.hop_length
-    tail = jnp.repeat(spec[..., -1:, :], extra, axis=-2)
-    spec = jnp.concatenate([spec, tail], axis=-2)
 
+def spectra_to_waveform(cfg: VocoderConfig, spec: jax.Array,
+                        length: Optional[int] = None,
+                        tail_repeat: bool = True) -> jax.Array:
+    """Windowed overlap-add iSTFT of vocoder spectra.
+
+    With ``tail_repeat`` the final frame is repeated ``n_fft // hop``
+    times so the centered iSTFT's edge trim still yields the full
+    ``T * hop`` samples — the utterance-end flush. Chunked synthesis
+    passes ``tail_repeat=False`` for interior chunks (the next chunk's
+    halo provides that context) and slices the overlap region itself."""
+    t = spec.shape[-2]
+    if tail_repeat:
+        extra = cfg.n_fft // cfg.hop_length
+        tail = jnp.repeat(spec[..., -1:, :], extra, axis=-2)
+        spec = jnp.concatenate([spec, tail], axis=-2)
     wav = istft(spec, n_fft=cfg.n_fft, hop=cfg.hop_length,
                 window=hann_window(cfg.n_fft))
-    out_len = length if length is not None else mel.shape[-2] * cfg.hop_length
+    out_len = length if length is not None else t * cfg.hop_length
     return wav[..., :out_len]
+
+
+def vocoder_waveform(params: Params, cfg: VocoderConfig, mel: jax.Array,
+                     length: Optional[int] = None) -> jax.Array:
+    """``mel[..., T, n_mels] -> waveform[..., T*hop]``."""
+    spec = vocoder_spectra(params, cfg, mel)
+    return spectra_to_waveform(cfg, spec, length=length)
+
+
+def vocoder_halo_frames(cfg: VocoderConfig) -> int:
+    """Mel frames of one-sided context for exact chunked backbone output
+    (each ConvNeXt block's depthwise k=7 conv adds 3 frames per side)."""
+    return 3 * cfg.layers

@@ -248,6 +248,23 @@ def receiver_loop(
                 event_loop,
             )
 
+        if cfg.runtime.streaming_playback:
+            # chunks reach the speaker while later mel groups are still
+            # being generated — walkie-talkie turnaround is one decode
+            # chunk, not the whole clip (reference waited on the full
+            # cloud round trip: docs/ARCHITECTURE.md:229-231)
+            try:
+                for chunk in synthesizer.synthesize_streaming(packet):
+                    if not chunk:
+                        continue
+                    try:
+                        playback_queue.put_nowait(chunk)
+                    except queue.Full:
+                        logger.warning("playback queue full — dropping chunk")
+            except Exception as e:
+                logger.error("synthesis failed, packet skipped: %s", e)
+            continue
+
         try:
             audio = synthesizer.synthesize(packet)
         except Exception as e:

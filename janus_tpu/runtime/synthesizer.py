@@ -11,9 +11,11 @@ degradation ladder all mirror the reference synthesizer exactly
 - semantic failure → fast TTS; fast-TTS failure → b''
 
 The synthesis itself runs the in-framework TTS transformer + iSTFT
-vocoder as one jitted program (text always padded to the model's trained
-length — the decoder-only TTS is position-sensitive), instead of a cloud
-call. Output is 48 kHz mono int16 PCM bytes ready for playback.
+vocoder as one jitted program, instead of a cloud call. Text pads only to
+the next power-of-two bucket: audio tokens sit at a fixed position base
+(models.tts.audio_pos_base) and training jitters prompt widths over the
+same buckets, so any bucket is an in-distribution prompt length. Output
+is 48 kHz mono int16 PCM bytes ready for playback.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import numpy as np
 from janus_tpu.common.config import JanusConfig
 from janus_tpu.common.protocol import JanusMode, JanusPacket
 from janus_tpu.models import tts as tts_mod
+from janus_tpu.models.tts import text_bucket
 from janus_tpu.models import vocoder as voc_mod
 from janus_tpu.models.speaker import init_speaker_encoder, speaker_embed
 from janus_tpu.models.tokenizer import ByteTokenizer
@@ -88,6 +91,7 @@ class Synthesizer:
             self._load_reference_audio(reference_audio_path)
 
         self._synth_jit = jax.jit(self._synth_impl)
+        self._streamer = None  # lazy StreamingSynthesizer (shares params)
 
     # -- voice cloning (reference: synthesizer.py:67-104) ------------------
 
@@ -151,10 +155,13 @@ class Synthesizer:
 
     def _run_tts(self, prompt_text: str, emotion_tag: str) -> bytes:
         ids = self.tokenizer.encode(prompt_text)[: self.cfg.tts.max_text_tokens]
-        # pad to the model's full text length: the decoder-only TTS is
-        # position-sensitive (prompt length shifts the [BOA] slot), so the
-        # serving length must match the training length exactly
-        bucket = self.cfg.tts.max_text_tokens
+        # pad only to the next power-of-two text bucket (recompile-free,
+        # one program per bucket). The model is text-length robust: audio
+        # tokens sit at a FIXED position base (models.tts.audio_pos_base)
+        # and training jitters the prompt width over these same buckets,
+        # so serving no longer requires the exact trained length (the
+        # round-1 landmine).
+        bucket = text_bucket(len(ids), self.cfg.tts.max_text_tokens)
         padded = np.full((1, bucket), self.tokenizer.pad, dtype=np.int32)
         padded[0, : len(ids)] = ids
         emo = np.asarray([tts_mod.emotion_id(emotion_tag)], dtype=np.int32)
@@ -172,6 +179,59 @@ class Synthesizer:
         pcm = np.clip(pcm, -1.0, 1.0)
         return (pcm * 32767.0).astype(np.int16).tobytes()
 
+    def _resolve_emotion(self, packet: JanusPacket) -> str:
+        if packet.override_emotion and packet.override_emotion != "Auto":
+            return packet.override_emotion
+        prosody = packet.prosody or {}
+        return _reference_emotion_table(
+            prosody.get("pitch", "Normal"), prosody.get("energy", "Normal")
+        )
+
+    def _speaker_arg(self):
+        if self._speaker_vec is not None:
+            return np.asarray(self._speaker_vec)
+        if self._default_speaker_vec is not None:
+            return self._default_speaker_vec
+        return None
+
+    def synthesize_streaming(self, packet: JanusPacket):
+        """Yield PCM16 byte chunks as mel groups are generated — first
+        audio after one decode chunk instead of the full budget
+        (turnaround vs the reference's 2.8–3.0 s cloud round trip).
+        Concatenated chunks equal :meth:`synthesize`'s output for the
+        semantic/text modes; Morse is instant and yields once."""
+        if packet.mode == JanusMode.MORSE_CODE:
+            yield morse_audio(packet.text)
+            return
+        self._check_and_reload_reference_audio()
+        if packet.mode == JanusMode.TEXT_ONLY:
+            tag = (packet.override_emotion
+                   if packet.override_emotion and packet.override_emotion != "Auto"
+                   else "neutral")
+        else:
+            tag = self._resolve_emotion(packet)
+        if self._streamer is None:
+            from janus_tpu.runtime.streaming_tts import StreamingSynthesizer
+
+            self._streamer = StreamingSynthesizer(
+                self.cfg, tts_params=self.tts_params,
+                vocoder_params=self.vocoder_params,
+            )
+        emitted = False
+        try:
+            for chunk in self._streamer.stream_pcm16(
+                packet.text, tag, speaker=self._speaker_arg()
+            ):
+                emitted = True
+                yield chunk
+        except Exception as e:
+            logger.error("streaming synthesis failed: %s", e)
+            if not emitted:  # reference fallback ladder, chunk-free
+                fallback = self._generate_fast_tts(packet.text,
+                                                   packet.override_emotion)
+                if fallback:
+                    yield fallback
+
     # -- public API (reference: synthesizer.py:106-255) --------------------
 
     def synthesize(self, packet: JanusPacket) -> bytes:
@@ -185,13 +245,7 @@ class Synthesizer:
 
     def _generate_semantic_audio(self, packet: JanusPacket) -> bytes:
         self._check_and_reload_reference_audio()
-        if packet.override_emotion and packet.override_emotion != "Auto":
-            emotion = packet.override_emotion
-        else:
-            prosody = packet.prosody or {}
-            emotion = _reference_emotion_table(
-                prosody.get("pitch", "Normal"), prosody.get("energy", "Normal")
-            )
+        emotion = self._resolve_emotion(packet)
         try:
             return self._run_tts(packet.text, emotion)
         except Exception as e:

@@ -196,15 +196,26 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     max_groups = cfg.max_mel_frames // cfg.reduction
+    # Prompt-width jitter: each step trains at a random serving text
+    # bucket, so every bucket the synthesizer can pad to is an
+    # in-distribution prompt length (audio positions are text-length
+    # invariant by construction — models.tts.audio_pos_base). One compiled
+    # train step per bucket.
+    buckets = tts_mod.text_buckets(cfg.max_text_tokens)
     history = []
     t0 = time.time()
     for step in range(steps):
         texts = [sample_text(rng) for _ in range(batch)]
+        # jitter only among buckets wide enough for this batch's texts —
+        # truncation would desync the prompt from its mel target
+        longest = max(len(tok.encode(t)) for t in texts)
+        fitting = [b for b in buckets if b >= longest] or [buckets[-1]]
+        width = int(fitting[int(rng.integers(0, len(fitting)))])
         speakers = rng.integers(0, n_speakers, batch).tolist()
         emotions = [EMOTIONS[int(i)] for i in rng.integers(0, len(EMOTIONS), batch)]
-        text_ids = np.full((batch, cfg.max_text_tokens), tok.pad, np.int32)
+        text_ids = np.full((batch, width), tok.pad, np.int32)
         for i, t in enumerate(texts):
-            ids = tok.encode(t)[: cfg.max_text_tokens]
+            ids = tok.encode(t)[:width]
             text_ids[i, : len(ids)] = ids
         emo = np.asarray([emotion_id(e) for e in emotions], np.int32)
         mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction,
