@@ -163,15 +163,79 @@ def evaluate_roundtrip(
     )
     copy_snr = snr_db(wav_v, recon)
 
-    return {
+    # --- streaming turnaround (time to FIRST audio vs full clip) ---
+    # The reference's walkie-talkie turnaround was 2.8-3.0 s against its
+    # cloud TTS (reference docs/ARCHITECTURE.md:229-231).
+    from janus_tpu.runtime.streaming_tts import StreamingSynthesizer
+
+    streamer = StreamingSynthesizer(
+        synth_cfg, tts_params=synth.tts_params,
+        vocoder_params=synth.vocoder_params, chunk_groups=16,
+    )
+    turn_text = packets[0].text or texts[0]
+    spk = synth._speaker_arg()
+    list(streamer.stream(turn_text, speaker=spk))  # warm the programs
+    first_s, total_s, _n = streamer.turnaround(turn_text, speaker=spk)
+
+    # --- prompt-padding robustness (text-length-invariant positions) ---
+    # Same text at two different prompt paddings must transcribe the same
+    # (the round-1 build required the exact trained width).
+    pad_match = None
+    if tts_params is not None:
+        import jax.numpy as jnp
+
+        from janus_tpu.models import tts as tts_mod
+        from janus_tpu.models import vocoder as voc_mod
+
+        def _synth_at_width(width: int) -> np.ndarray:
+            ids = tok.encode(turn_text)[:width]
+            padded = np.full((1, width), tok.pad, np.int32)
+            padded[0, : len(ids)] = ids
+            mel, n_frames = tts_mod.tts_generate(
+                synth.tts_params, synth_cfg.tts, jnp.asarray(padded),
+                jnp.asarray([0], jnp.int32),
+                speaker=None if spk is None else jnp.asarray(spk)[None, :],
+                text_vocab=tok.vocab_size,
+            )
+            wav = voc_mod.vocoder_waveform(
+                synth.vocoder_params, synth_cfg.vocoder, mel)
+            n = int(np.asarray(n_frames)[0]) * synth_cfg.vocoder.hop_length
+            wav = np.asarray(wav)[0, :n]
+            if synth_cfg.vocoder.sample_rate != sr:
+                import math as _math
+
+                g = _math.gcd(sr, synth_cfg.vocoder.sample_rate)
+                wav = np.asarray(resample_poly(
+                    jnp.asarray(wav), up=sr // g,
+                    down=synth_cfg.vocoder.sample_rate // g))
+            return wav.astype(np.float32)
+
+        from janus_tpu.models.tts import text_bucket
+
+        w_small = text_bucket(len(tok.encode(turn_text)),
+                              synth_cfg.tts.max_text_tokens)
+        w_full = synth_cfg.tts.max_text_tokens
+        if w_small != w_full:
+            wav_a, wav_b = _synth_at_width(w_small), _synth_at_width(w_full)
+            if min(len(wav_a), len(wav_b)) >= 1536 * 6:
+                ta = encoder.encode_batch([wav_a])[0]["text"]
+                tb = encoder.encode_batch([wav_b])[0]["text"]
+                pad_match = bool(ta == tb)
+
+    out = {
         "transcription_wer": round(tx_wer, 4),
         "roundtrip_wer": round(rt_wer, 4),
         "prosody_agreement": round(pros_agree, 4),
         "mean_packet_bytes": round(float(np.mean(sizes)), 1),
         "mean_airtime_s_at_300bps": round(float(np.mean(sizes)) / 37.5, 3),
         "vocoder_copy_snr_db": round(copy_snr, 2),
+        "tts_turnaround_first_audio_s": round(first_s, 4),
+        "tts_full_synthesis_s": round(total_s, 4),
         "n_utterances": n_utterances,
     }
+    if pad_match is not None:
+        out["tts_padding_transcript_match"] = pad_match
+    return out
 
 
 def main() -> None:
@@ -185,6 +249,12 @@ def main() -> None:
     parser.add_argument("--tts-ckpt", default="checkpoints/demo_tts.npz")
     parser.add_argument("--voc-ckpt", default="checkpoints/demo_vocoder.npz")
     parser.add_argument("--n", type=int, default=16)
+    parser.add_argument(
+        "--min-snr", type=float,
+        default=float(os.environ.get("JANUS_MIN_SNR", "nan")),
+        help="fail (exit 1) when vocoder copy-synthesis SNR falls below "
+             "this floor — the round-2 regression gate",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -204,6 +274,12 @@ def main() -> None:
         kw["vocoder_cfg"] = demo_vocoder_config()
     metrics = evaluate_roundtrip(params, demo_asr_config(), n_utterances=args.n, **kw)
     print(json.dumps(metrics, indent=2))
+    if args.min_snr == args.min_snr:  # not NaN -> the floor is armed
+        if metrics["vocoder_copy_snr_db"] < args.min_snr:
+            raise SystemExit(
+                f"copy-synthesis SNR {metrics['vocoder_copy_snr_db']} dB "
+                f"below the {args.min_snr} dB floor"
+            )
 
 
 if __name__ == "__main__":

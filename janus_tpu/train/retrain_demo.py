@@ -1,0 +1,150 @@
+"""Retrain the demo TTS/vocoder checkpoints (round-2 recipe).
+
+Why a retrain entry exists: the TTS gained text-length-invariant audio
+positions + prompt-width jitter (``models/tts.py::audio_pos_base``),
+which invalidates round-1 ``demo_tts.npz``; and the round-1 vocoder's
+copy-synthesis SNR (10.54 dB at 600 steps) was a training-budget problem,
+not a design problem — this recipe trains longer with cosine decay and
+random window crops, targeting ≥ 18 dB.
+
+    python -m janus_tpu.train.retrain_demo                  # tts + vocoder
+    python -m janus_tpu.train.retrain_demo --what vocoder --steps 4000
+
+Saves flat-npz checkpoints the zoo loads (``checkpoints/demo_*.npz``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+logger = logging.getLogger("janus.retrain")
+
+
+def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
+    """Longer-budget vocoder training: cosine-decayed AdamW + random
+    window crops over the multi-speaker / multi-emotion tone corpus."""
+    import jax.numpy as jnp
+    import optax
+
+    from janus_tpu.common.config import MeshConfig
+    from janus_tpu.models.vocoder import init_vocoder
+    from janus_tpu.ops.mel import log_mel_spectrogram
+    from janus_tpu.parallel.mesh import build_mesh
+    from janus_tpu.parallel.sharding import VOCODER_PARTITION_RULES
+    from janus_tpu.train.demo import demo_vocoder_config
+    from janus_tpu.train.losses import vocoder_loss
+    from janus_tpu.train.synthetic_task import render_text, sample_text
+    from janus_tpu.train.trainer import Trainer
+    from janus_tpu.models.tts import EMOTIONS
+
+    cfg = demo_vocoder_config()
+    mesh = build_mesh(MeshConfig(data=1, model=1, seq=1))
+    n_mels = 80
+    params = init_vocoder(seed, cfg, n_mels=n_mels)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=2e-3, warmup_steps=min(100, steps // 10),
+        decay_steps=steps, end_value=1e-4,
+    )
+    trainer = Trainer(lambda p, mel, wav: vocoder_loss(p, cfg, mel, wav),
+                      mesh, VOCODER_PARTITION_RULES, learning_rate=schedule)
+    state = trainer.create_state(params)
+
+    rng = np.random.default_rng(seed)
+    t_frames = 96
+    t_samples = t_frames * cfg.hop_length
+    history = []
+    t0 = time.time()
+    for step in range(steps):
+        wavs = np.zeros((batch, t_samples), np.float32)
+        for i in range(batch):
+            w = render_text(
+                sample_text(rng), cfg.sample_rate,
+                seed=int(rng.integers(1 << 30)),
+                speaker=int(rng.integers(0, 4)),
+                emotion=EMOTIONS[int(rng.integers(0, len(EMOTIONS)))],
+            )
+            # random crop: boundaries land anywhere in the window, not
+            # always at utterance start
+            if len(w) > t_samples:
+                off = int(rng.integers(0, len(w) - t_samples + 1))
+                w = w[off : off + t_samples]
+            wavs[i, : min(len(w), t_samples)] = w[:t_samples]
+        mel = np.asarray(log_mel_spectrogram(
+            jnp.asarray(wavs), cfg.sample_rate, 400, cfg.hop_length, n_mels
+        ))[:, :t_frames, :]
+        state, metrics = trainer.train_step(state, mel, wavs)
+        history.append(float(metrics["loss"]))
+        if log_every and step % log_every == 0:
+            logger.info("voc step %d loss=%.4f l1=%.4f (%.1fs)", step,
+                        metrics["loss"], metrics["voc_l1"], time.time() - t0)
+    return state.params, cfg, history
+
+
+def quick_copy_snr(voc_params, vcfg, n_mels: int = 80) -> float:
+    """The eval/roundtrip copy-synthesis SNR, standalone."""
+    import jax.numpy as jnp
+
+    from janus_tpu.eval.metrics import snr_db
+    from janus_tpu.models.vocoder import vocoder_waveform
+    from janus_tpu.ops.mel import log_mel_spectrogram
+    from janus_tpu.train.synthetic_task import render_text
+
+    wav = render_text("tiko ma selo", vcfg.sample_rate, seed=0)
+    mel = log_mel_spectrogram(jnp.asarray(wav), vcfg.sample_rate, 400,
+                              vcfg.hop_length, n_mels)
+    recon = np.asarray(vocoder_waveform(voc_params, vcfg, mel, length=len(wav)))
+    return snr_db(wav, recon)
+
+
+def main() -> None:
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--what", default="tts,vocoder",
+                    help="comma list: tts, vocoder, asr")
+    ap.add_argument("--tts-steps", type=int, default=3000)
+    ap.add_argument("--voc-steps", type=int, default=4000)
+    ap.add_argument("--asr-steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out-dir", default="checkpoints")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from janus_tpu.train.checkpoint import save_params
+    from janus_tpu.train import demo as demo_mod
+
+    what = {w.strip() for w in args.what.split(",")}
+
+    if "asr" in what:
+        params, cfg, tok, hist = demo_mod.train_demo_asr(
+            args.asr_steps, args.batch)
+        wer, _ = demo_mod.evaluate_asr(params, cfg, tok)
+        logger.info("asr final loss=%.4f WER=%.3f", hist[-1], wer)
+        save_params(f"{args.out_dir}/demo_asr", params)
+
+    if "tts" in what:
+        params, cfg, tok, hist = demo_mod.train_demo_tts(
+            steps=args.tts_steps, batch=args.batch)
+        logger.info("tts final loss=%.4f", hist[-1])
+        save_params(f"{args.out_dir}/demo_tts", params)
+        # speaker encoder is deterministic (seed 42) — re-save for the zoo
+        spk_params, _ = demo_mod.demo_speaker_vectors()
+        save_params(f"{args.out_dir}/demo_speaker", spk_params)
+
+    if "vocoder" in what:
+        params, vcfg, hist = train_vocoder(args.voc_steps, max(args.batch // 2, 4))
+        snr = quick_copy_snr(params, vcfg)
+        logger.info("vocoder final loss=%.4f copy-SNR=%.2f dB", hist[-1], snr)
+        save_params(f"{args.out_dir}/demo_vocoder", params)
+
+    logger.info("done -> %s", args.out_dir)
+
+
+if __name__ == "__main__":
+    main()
