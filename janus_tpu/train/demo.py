@@ -202,32 +202,42 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     # invariant by construction — models.tts.audio_pos_base). One compiled
     # train step per bucket.
     buckets = tts_mod.text_buckets(cfg.max_text_tokens)
-    history = []
+
+    # Pre-render an utterance pool ONCE: per-step host data generation
+    # would otherwise serialize with (and dominate) the device step when
+    # dispatch is remote. Minibatches sample from the pool.
+    pool_n = max(512, 4 * batch)
+    pool_texts = [sample_text(rng) for _ in range(pool_n)]
+    pool_speakers = rng.integers(0, n_speakers, pool_n).tolist()
+    pool_emotions = [EMOTIONS[int(i)]
+                     for i in rng.integers(0, len(EMOTIONS), pool_n)]
+    pool_mels, pool_mask = mel_targets_for(
+        pool_texts, cfg.n_mels, cfg.reduction, max_groups,
+        speakers=pool_speakers, emotions=pool_emotions)
+    pool_ids = [tok.encode(t)[: cfg.max_text_tokens] for t in pool_texts]
+    pool_emo = np.asarray([emotion_id(e) for e in pool_emotions], np.int32)
+    pool_spk = spk_matrix[pool_speakers].astype(np.float32)
+
+    history = []  # device scalars; float() only at log points so the
+    # host never blocks per step (async dispatch pipelines the tunnel RTT)
     t0 = time.time()
     for step in range(steps):
-        texts = [sample_text(rng) for _ in range(batch)]
-        # jitter only among buckets wide enough for this batch's texts —
-        # truncation would desync the prompt from its mel target
-        longest = max(len(tok.encode(t)) for t in texts)
+        idx = rng.choice(pool_n, size=batch, replace=False)
+        longest = max(len(pool_ids[i]) for i in idx)
         fitting = [b for b in buckets if b >= longest] or [buckets[-1]]
         width = int(fitting[int(rng.integers(0, len(fitting)))])
-        speakers = rng.integers(0, n_speakers, batch).tolist()
-        emotions = [EMOTIONS[int(i)] for i in rng.integers(0, len(EMOTIONS), batch)]
         text_ids = np.full((batch, width), tok.pad, np.int32)
-        for i, t in enumerate(texts):
-            ids = tok.encode(t)[:width]
-            text_ids[i, : len(ids)] = ids
-        emo = np.asarray([emotion_id(e) for e in emotions], np.int32)
-        mels, mask = mel_targets_for(texts, cfg.n_mels, cfg.reduction,
-                                     max_groups, speakers=speakers,
-                                     emotions=emotions)
-        spk = spk_matrix[speakers].astype(np.float32)
-        state, metrics = trainer.train_step(state, text_ids, emo, mels, mask, spk)
-        history.append(float(metrics["loss"]))
+        for row, i in enumerate(idx):
+            ids = pool_ids[i][:width]
+            text_ids[row, : len(ids)] = ids
+        state, metrics = trainer.train_step(
+            state, text_ids, pool_emo[idx], pool_mels[idx], pool_mask[idx],
+            pool_spk[idx])
+        history.append(metrics["loss"])
         if log_every and step % log_every == 0:
-            logger.info("tts step %d loss=%.4f (%.1fs)", step, metrics["loss"],
-                        time.time() - t0)
-    return state.params, cfg, tok, history
+            logger.info("tts step %d loss=%.4f (%.1fs)", step,
+                        float(metrics["loss"]), time.time() - t0)
+    return state.params, cfg, tok, [float(h) for h in history]
 
 
 def train_demo_vocoder(steps: int = 600, batch: int = 8, seed: int = 0,

@@ -50,39 +50,53 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
         init_value=0.0, peak_value=2e-3, warmup_steps=min(100, steps // 10),
         decay_steps=steps, end_value=1e-4,
     )
-    trainer = Trainer(lambda p, mel, wav: vocoder_loss(p, cfg, mel, wav),
-                      mesh, VOCODER_PARTITION_RULES, learning_rate=schedule)
+    t_frames = 96
+
+    def loss_fn(p, wav):
+        # mel computed INSIDE the jitted step: no per-step host sync, one
+        # dispatch per step (remote-dispatch pipelining stays full)
+        mel = log_mel_spectrogram(
+            wav, cfg.sample_rate, 400, cfg.hop_length, n_mels
+        )[:, :t_frames, :]
+        return vocoder_loss(p, cfg, mel, wav)
+
+    trainer = Trainer(loss_fn, mesh, VOCODER_PARTITION_RULES,
+                      learning_rate=schedule)
     state = trainer.create_state(params)
 
     rng = np.random.default_rng(seed)
-    t_frames = 96
     t_samples = t_frames * cfg.hop_length
-    history = []
+
+    # Pre-render an utterance pool once; steps take random crops from it.
+    # Per-step host rendering would serialize with remote dispatch.
+    pool_n = 512
+    pool = []
+    for _ in range(pool_n):
+        w = render_text(
+            sample_text(rng), cfg.sample_rate,
+            seed=int(rng.integers(1 << 30)),
+            speaker=int(rng.integers(0, 4)),
+            emotion=EMOTIONS[int(rng.integers(0, len(EMOTIONS)))],
+        )
+        if len(w) < t_samples:
+            w = np.pad(w, (0, t_samples - len(w)))
+        pool.append(w.astype(np.float32))
+
+    history = []  # device scalars; float() only at log points
     t0 = time.time()
     for step in range(steps):
         wavs = np.zeros((batch, t_samples), np.float32)
-        for i in range(batch):
-            w = render_text(
-                sample_text(rng), cfg.sample_rate,
-                seed=int(rng.integers(1 << 30)),
-                speaker=int(rng.integers(0, 4)),
-                emotion=EMOTIONS[int(rng.integers(0, len(EMOTIONS)))],
-            )
-            # random crop: boundaries land anywhere in the window, not
-            # always at utterance start
-            if len(w) > t_samples:
-                off = int(rng.integers(0, len(w) - t_samples + 1))
-                w = w[off : off + t_samples]
-            wavs[i, : min(len(w), t_samples)] = w[:t_samples]
-        mel = np.asarray(log_mel_spectrogram(
-            jnp.asarray(wavs), cfg.sample_rate, 400, cfg.hop_length, n_mels
-        ))[:, :t_frames, :]
-        state, metrics = trainer.train_step(state, mel, wavs)
-        history.append(float(metrics["loss"]))
+        for i, j in enumerate(rng.choice(pool_n, size=batch, replace=False)):
+            w = pool[j]
+            off = int(rng.integers(0, len(w) - t_samples + 1))
+            wavs[i] = w[off : off + t_samples]
+        state, metrics = trainer.train_step(state, wavs)
+        history.append(metrics["loss"])
         if log_every and step % log_every == 0:
             logger.info("voc step %d loss=%.4f l1=%.4f (%.1fs)", step,
-                        metrics["loss"], metrics["voc_l1"], time.time() - t0)
-    return state.params, cfg, history
+                        float(metrics["loss"]), float(metrics["voc_l1"]),
+                        time.time() - t0)
+    return state.params, cfg, [float(h) for h in history]
 
 
 def quick_copy_snr(voc_params, vcfg, n_mels: int = 80) -> float:
