@@ -19,6 +19,7 @@ import argparse
 import logging
 import time
 
+import jax
 import numpy as np
 
 logger = logging.getLogger("janus.retrain")
@@ -111,8 +112,22 @@ def quick_copy_snr(voc_params, vcfg, n_mels: int = 80) -> float:
     wav = render_text("tiko ma selo", vcfg.sample_rate, seed=0)
     mel = log_mel_spectrogram(jnp.asarray(wav), vcfg.sample_rate, 400,
                               vcfg.hop_length, n_mels)
-    recon = np.asarray(vocoder_waveform(voc_params, vcfg, mel, length=len(wav)))
+    # jitted: eager complex ops are UNIMPLEMENTED on some remote backends
+    fn = jax.jit(lambda p, m: vocoder_waveform(p, vcfg, m, length=len(wav)))
+    recon = np.asarray(fn(voc_params, mel))
     return snr_db(wav, recon)
+
+
+def save_npz(path: str, params) -> None:
+    """Write the zoo's checkpoint format: flat fp16 npz keyed by tree path
+    (loaded by ``eval.roundtrip.load_npz_params`` / ``models.zoo``)."""
+    from janus_tpu.models.params import flatten_with_paths
+
+    flat = {}
+    for k, v in flatten_with_paths(params):
+        a = np.asarray(v)
+        flat[k] = a.astype(np.float16) if np.issubdtype(a.dtype, np.floating) else a
+    np.savez(path, **flat)
 
 
 def main() -> None:
@@ -130,7 +145,6 @@ def main() -> None:
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    from janus_tpu.train.checkpoint import save_params
     from janus_tpu.train import demo as demo_mod
 
     what = {w.strip() for w in args.what.split(",")}
@@ -140,22 +154,26 @@ def main() -> None:
             args.asr_steps, args.batch)
         wer, _ = demo_mod.evaluate_asr(params, cfg, tok)
         logger.info("asr final loss=%.4f WER=%.3f", hist[-1], wer)
-        save_params(f"{args.out_dir}/demo_asr", params)
+        save_npz(f"{args.out_dir}/demo_asr.npz", params)
 
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(
             steps=args.tts_steps, batch=args.batch)
         logger.info("tts final loss=%.4f", hist[-1])
-        save_params(f"{args.out_dir}/demo_tts", params)
+        save_npz(f"{args.out_dir}/demo_tts.npz", params)
         # speaker encoder is deterministic (seed 42) — re-save for the zoo
         spk_params, _ = demo_mod.demo_speaker_vectors()
-        save_params(f"{args.out_dir}/demo_speaker", spk_params)
+        save_npz(f"{args.out_dir}/demo_speaker.npz", spk_params)
 
     if "vocoder" in what:
         params, vcfg, hist = train_vocoder(args.voc_steps, max(args.batch // 2, 4))
-        snr = quick_copy_snr(params, vcfg)
-        logger.info("vocoder final loss=%.4f copy-SNR=%.2f dB", hist[-1], snr)
-        save_params(f"{args.out_dir}/demo_vocoder", params)
+        # save FIRST: a failed diagnostic must never lose the training run
+        save_npz(f"{args.out_dir}/demo_vocoder.npz", params)
+        try:
+            snr = quick_copy_snr(params, vcfg)
+            logger.info("vocoder final loss=%.4f copy-SNR=%.2f dB", hist[-1], snr)
+        except Exception as e:
+            logger.warning("copy-SNR probe failed (checkpoint saved): %s", e)
 
     logger.info("done -> %s", args.out_dir)
 
