@@ -140,28 +140,50 @@ def evaluate_roundtrip(
     # --- vocoder copy-synthesis SNR (tone-language domain) ---
     import math
 
+    import jax
+
     from janus_tpu.models.vocoder import vocoder_waveform
     from janus_tpu.ops.mel import log_mel_spectrogram
 
     voc_sr = synth_cfg.vocoder.sample_rate
-    wav16 = render_text(texts[0], 16_000, seed=0)
-    if voc_sr != 16_000:
-        g = math.gcd(voc_sr, 16_000)
-        wav_v = np.asarray(
-            resample_poly(jnp.asarray(wav16), up=voc_sr // g, down=16_000 // g)
-        )
-    else:
-        wav_v = wav16
+    # Averaged over several utterances: single-utterance copy-SNR varies
+    # ~±4 dB with text draw, so one sample is not a stable quality gate.
+    # All utterances are zero-padded to one length and vocoded as a batch
+    # (one compiled program regardless of text lengths).
+    snr_texts = texts[: min(4, len(texts))]
+    wavs_v: List[np.ndarray] = []
+    for i, t in enumerate(snr_texts):
+        w16 = render_text(t, 16_000, seed=i)
+        if voc_sr != 16_000:
+            g = math.gcd(voc_sr, 16_000)
+            w = np.asarray(
+                resample_poly(jnp.asarray(w16), up=voc_sr // g, down=16_000 // g)
+            )
+        else:
+            w = w16
+        wavs_v.append(w.astype(np.float32))
+    hop = synth_cfg.vocoder.hop_length
+    pad_len = -(-max(len(w) for w in wavs_v) // hop) * hop
+    batch = np.zeros((len(wavs_v), pad_len), np.float32)
+    for i, w in enumerate(wavs_v):
+        batch[i, : len(w)] = w
     # vocoder input mel: standard 400-fft frontend at the vocoder hop
     mel_v = log_mel_spectrogram(
-        jnp.asarray(wav_v), voc_sr, 400, synth_cfg.vocoder.hop_length,
-        synth_cfg.tts.n_mels,
+        jnp.asarray(batch), voc_sr, 400, hop, synth_cfg.tts.n_mels,
     )
+    # jitted: eager complex-number ops are UNIMPLEMENTED on some remote
+    # TPU backends (see CLAUDE.md)
     recon = np.asarray(
-        vocoder_waveform(synth.vocoder_params, synth_cfg.vocoder, mel_v,
-                         length=len(wav_v))
+        jax.jit(
+            lambda p, m: vocoder_waveform(p, synth_cfg.vocoder, m,
+                                          length=pad_len)
+        )(synth.vocoder_params, mel_v)
     )
-    copy_snr = snr_db(wav_v, recon)
+    per_utt_snr = [
+        snr_db(w, recon[i, : len(w)]) for i, w in enumerate(wavs_v)
+    ]
+    copy_snr = float(np.mean(per_utt_snr))
+    copy_snr_min = float(np.min(per_utt_snr))
 
     # --- streaming turnaround (time to FIRST audio vs full clip) ---
     # The reference's walkie-talkie turnaround was 2.8-3.0 s against its
@@ -229,6 +251,7 @@ def evaluate_roundtrip(
         "mean_packet_bytes": round(float(np.mean(sizes)), 1),
         "mean_airtime_s_at_300bps": round(float(np.mean(sizes)) / 37.5, 3),
         "vocoder_copy_snr_db": round(copy_snr, 2),
+        "vocoder_copy_snr_min_db": round(copy_snr_min, 2),
         "tts_turnaround_first_audio_s": round(first_s, 4),
         "tts_full_synthesis_s": round(total_s, 4),
         "n_utterances": n_utterances,

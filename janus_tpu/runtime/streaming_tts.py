@@ -81,11 +81,18 @@ class StreamingSynthesizer:
 
         self._prefill_jit = jax.jit(self._prefill_impl)
         self._chunk_jit = jax.jit(self._chunk_impl, static_argnames=("n_steps",))
-        self._spectra_jit = jax.jit(
-            lambda vp, mel: voc_mod.vocoder_spectra(vp, vcfg, mel))
+        # complex spectra never cross the device->host boundary: transfers
+        # of complex dtypes are UNIMPLEMENTED on some remote TPU backends,
+        # so the programs move real/imag float32 pairs and the host buffer
+        # reassembles complex64.
+        def _spectra_ri(vp, mel):
+            s = voc_mod.vocoder_spectra(vp, vcfg, mel)
+            return jnp.real(s), jnp.imag(s)
+
+        self._spectra_jit = jax.jit(_spectra_ri)
         self._istft_jit = jax.jit(
-            lambda spec: voc_mod.spectra_to_waveform(
-                vcfg, spec, tail_repeat=False))
+            lambda re, im: voc_mod.spectra_to_waveform(
+                vcfg, jax.lax.complex(re, im), tail_repeat=False))
         if (self._up, self._down) != (1, 1):
             self._resample_jit = jax.jit(
                 lambda w: resample_poly(w, up=self._up, down=self._down))
@@ -173,9 +180,9 @@ class StreamingSynthesizer:
                 while (groups_have * r < m_hi and groups_have < max_groups
                        and not stopped):
                     gen_more()
-                spec = np.asarray(self._spectra_jit(
-                    self.vocoder_params,
-                    jnp.asarray(mel_buf[:, m_lo:m_hi, :])))
+                s_re, s_im = self._spectra_jit(
+                    self.vocoder_params, jnp.asarray(mel_buf[:, m_lo:m_hi, :]))
+                spec = np.asarray(s_re) + 1j * np.asarray(s_im)
                 spec_buf[:, a:b, :] = spec[:, a - m_lo : b - m_lo, :]
                 spec_have = b
                 if b == t_frames:  # utterance-end flush (spec tail repeat)
@@ -187,7 +194,10 @@ class StreamingSynthesizer:
             spec_through(min(b_frame + self._hi + 1, t_frames))
             s0 = max(0, a_frame - self._hi - 1)
             s1 = min(t_frames + self._extra, b_frame + self._hi + 1)
-            wav = np.asarray(self._istft_jit(jnp.asarray(spec_buf[:, s0:s1, :])))
+            window = spec_buf[:, s0:s1, :]
+            wav = np.asarray(self._istft_jit(
+                jnp.asarray(window.real.astype(np.float32)),
+                jnp.asarray(window.imag.astype(np.float32))))
             # local sample l == absolute sample s0*hop + l
             core_lo = a_frame * hop
             core_hi = b_frame * hop

@@ -135,8 +135,9 @@ def demo_vocoder_config():
     from janus_tpu.common.config import VocoderConfig
 
     # trained on the 16 kHz tone-language domain directly (hop 160 matches
-    # the mel frontend, so TTS mel output feeds it with no resampling)
-    return VocoderConfig(n_fft=640, hop_length=160, d_model=128, layers=4,
+    # the mel frontend, so TTS mel output feeds it with no resampling);
+    # d192/L6 sized for >= 18 dB copy-synthesis SNR (d128/L4 plateaued ~16)
+    return VocoderConfig(n_fft=640, hop_length=160, d_model=192, layers=6,
                          sample_rate=16_000)
 
 

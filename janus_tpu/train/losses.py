@@ -80,12 +80,27 @@ def vocoder_loss(params, cfg, mel: jax.Array, target_wav: jax.Array
 
     ``mel[B, T, n_mels]`` (the vocoder's own input representation),
     ``target_wav[B, T*hop]``.
+
+    Phase supervision: the predicted complex spectra are compared per
+    frame against the TRUE windowed STFT on the vocoder's own grid
+    (``stft``/``istft`` here are an exact centered round-trip, so matching
+    spectra ⇒ matching waveform). Waveform L1 alone conditions phase
+    poorly through the overlap-add, and the multi-resolution magnitude
+    terms are phase-blind; without this term copy-synthesis SNR plateaus
+    near 10 dB.
     """
-    from janus_tpu.models.vocoder import vocoder_waveform
+    from janus_tpu.models.vocoder import spectra_to_waveform, vocoder_spectra
     from janus_tpu.ops.stft import stft
 
-    pred = vocoder_waveform(params, cfg, mel, length=target_wav.shape[-1])
+    spec_pred = vocoder_spectra(params, cfg, mel)
+    pred = spectra_to_waveform(cfg, spec_pred, length=target_wav.shape[-1])
     l1 = jnp.mean(jnp.abs(pred - target_wav))
+
+    t = spec_pred.shape[-2]
+    spec_true = stft(target_wav, n_fft=cfg.n_fft, hop=cfg.hop_length)[..., :t, :]
+    cplx = jnp.mean(jnp.abs(spec_pred - spec_true)) / (
+        jnp.mean(jnp.abs(spec_true)) + 1e-6
+    )
 
     sc_total = 0.0
     mag_total = 0.0
@@ -100,8 +115,8 @@ def vocoder_loss(params, cfg, mel: jax.Array, target_wav: jax.Array
             jnp.abs(jnp.log(sp + 1e-5) - jnp.log(st + 1e-5))
         )
     n_res = len(resolutions)
-    loss = 10.0 * l1 + sc_total / n_res + mag_total / n_res
-    return loss, {"voc_l1": l1, "voc_sc": sc_total / n_res,
+    loss = 10.0 * l1 + 4.0 * cplx + sc_total / n_res + mag_total / n_res
+    return loss, {"voc_l1": l1, "voc_cplx": cplx, "voc_sc": sc_total / n_res,
                   "voc_mag": mag_total / n_res}
 
 

@@ -49,7 +49,7 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
 
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=2e-3, warmup_steps=min(100, steps // 10),
-        decay_steps=steps, end_value=1e-4,
+        decay_steps=steps, end_value=2e-5,  # phase fine-tuning needs a low tail
     )
     t_frames = 96
 
@@ -68,13 +68,24 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
     rng = np.random.default_rng(seed)
     t_samples = t_frames * cfg.hop_length
 
+    def random_chars_text(r) -> str:
+        """Uniform random character strings (not corpus words): the vocoder
+        must invert mel for ANY character sequence the TTS can emit, so
+        half the pool breaks word-level memorization (without this,
+        copy-SNR is ~20 dB on corpus words but ~9 dB on unseen words)."""
+        return " ".join(
+            "".join(chr(ord("a") + int(c)) for c in r.integers(0, 26, int(r.integers(2, 8))))
+            for _ in range(int(r.integers(1, 4)))
+        )
+
     # Pre-render an utterance pool once; steps take random crops from it.
     # Per-step host rendering would serialize with remote dispatch.
     pool_n = 512
     pool = []
     for _ in range(pool_n):
         w = render_text(
-            sample_text(rng), cfg.sample_rate,
+            sample_text(rng) if rng.random() < 0.5 else random_chars_text(rng),
+            cfg.sample_rate,
             seed=int(rng.integers(1 << 30)),
             speaker=int(rng.integers(0, 4)),
             emotion=EMOTIONS[int(rng.integers(0, len(EMOTIONS)))],
@@ -87,16 +98,23 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
     t0 = time.time()
     for step in range(steps):
         wavs = np.zeros((batch, t_samples), np.float32)
+        hop = cfg.hop_length
         for i, j in enumerate(rng.choice(pool_n, size=batch, replace=False)):
             w = pool[j]
-            off = int(rng.integers(0, len(w) - t_samples + 1))
+            # Crop on the hop grid. The tone corpus is phase-deterministic
+            # on that grid (char 0.06s = 6 hops, gap 0.04s = 4 hops, every
+            # tone starts at phase 0), so per-frame target phase is a
+            # function of mel context — learnable. Arbitrary-sample crops
+            # rotate target phase randomly per example, which caps
+            # copy-synthesis SNR near 7 dB no matter the budget.
+            off = hop * int(rng.integers(0, (len(w) - t_samples) // hop + 1))
             wavs[i] = w[off : off + t_samples]
         state, metrics = trainer.train_step(state, wavs)
         history.append(metrics["loss"])
         if log_every and step % log_every == 0:
-            logger.info("voc step %d loss=%.4f l1=%.4f (%.1fs)", step,
-                        float(metrics["loss"]), float(metrics["voc_l1"]),
-                        time.time() - t0)
+            logger.info("voc step %d loss=%.4f l1=%.4f cplx=%.4f (%.1fs)",
+                        step, float(metrics["loss"]), float(metrics["voc_l1"]),
+                        float(metrics["voc_cplx"]), time.time() - t0)
     return state.params, cfg, [float(h) for h in history]
 
 
@@ -138,7 +156,7 @@ def main() -> None:
     ap.add_argument("--what", default="tts,vocoder",
                     help="comma list: tts, vocoder, asr")
     ap.add_argument("--tts-steps", type=int, default=3000)
-    ap.add_argument("--voc-steps", type=int, default=4000)
+    ap.add_argument("--voc-steps", type=int, default=8000)
     ap.add_argument("--asr-steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
