@@ -343,6 +343,23 @@ def run_full_suite(seconds: float = 4.0, flagship: bool = False) -> Dict:
 
 def main(argv: Optional[list] = None) -> None:
     import argparse
+    import os
+
+    # This artifact is defined on the virtual multi-device CPU mesh (one
+    # real chip is attached — see module docstring). Force the platform
+    # choice through jax.config: the site PJRT bootstrap re-asserts the
+    # TPU platform at interpreter start, so the env var alone is ignored
+    # and the whole suite would silently degenerate to N=1 rows.
+    os.environ["JAX_PLATFORMS"] = os.environ.get(
+        "JANUS_SCALING_PLATFORM", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    from janus_tpu.common.platform import apply_env_platform
+
+    apply_env_platform()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--tp", type=int, default=1)
