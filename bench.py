@@ -6,25 +6,33 @@ jitted program). The reference never measured RTF (BASELINE.md: "not
 published"); the framework target is RTF < 0.1 per chip, so
 ``vs_baseline`` is ``0.1 / rtf`` (>1 = better than target).
 
-Default run also records (each section fails soft, so a tunnel hiccup in
-an extra never loses the core metric):
+Default run also records (each section fails soft AND records partial
+results before raising, so a tunnel hiccup never loses a whole section):
 - decode RTF (KV-cached TTS sampling + vocoder) and the full-codec sum
 - int8 encode RTF (per-channel int8 weights — the reference ran its
   recognizer int8: reference backend/services/transcriber.py:26)
 - concurrent-session scaling (encode audio-s/s at batch 1/8/32/64)
-- runtime-overlap speedup: SessionManager serving 32 sessions with
-  double-buffered VAD + async encode dispatch vs fully synchronous ticks
-- flagship (large-v3, 635M encoder, scan-over-layers) encode RTF
+- runtime-overlap: a dispatch-bound regime (batch-1 phrases through the
+  ~300 ms remote-dispatch tunnel with an inflight window) plus the
+  32-session serving-loop macro comparison
+- flagship (large-v3, 635M encoder, scan-over-layers) encode RTF with
+  weight-only int8 AND full int8x8 (dynamic activation quant) variants
+- MFU / utilization: analytic FLOPs + HBM bytes of each compiled encode
+  program (``Compiled.cost_analysis``) divided by measured step time,
+  against TPU v5e peaks, plus a per-stage on-chip breakdown at flagship
+  scale (frontend / encoder / greedy decode)
 
 ``JANUS_BENCH_FAST=1`` runs only the core metric;
 ``JANUS_BENCH_SKIP=decode,int8,sessions,overlap,flagship`` skips
 individual sections.
 
-Timing note: values are min-of-N (N in each section) because dispatch
-through the remote-device tunnel has high variance (driver-observed
-941→2395 ms for identical iterations); min is the honest steady-state
-compute estimate. Prints exactly ONE JSON line on stdout; diagnostics go
-to stderr.
+Timing note: sections time K chained async dispatches per host-fetch sync
+(amortized), because (a) per-call dispatch through the remote-device
+tunnel costs ~300 ms of pure host latency and (b) ``block_until_ready``
+through the tunnel can return early (CLAUDE.md); the host fetch inside
+``PendingEncode.result`` is the only hard sync. Best-of-reps is reported —
+the honest steady-state throughput estimate. Prints exactly ONE JSON line
+on stdout; diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -35,6 +43,12 @@ import sys
 import time
 
 import numpy as np
+
+# TPU v5e public per-chip peaks (Cloud TPU docs): bf16 MXU FLOP/s, int8
+# OP/s, HBM bandwidth. Used only to convert measured FLOP/s into MFU.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_INT8 = 394e12
+V5E_HBM_BPS = 819e9
 
 
 def log(*a):
@@ -61,14 +75,71 @@ def _section(result: dict, name: str, fn) -> None:
         result.setdefault("failed_sections", []).append(name)
 
 
+def _retry(fn, tries=3, label=""):
+    """The remote tunnel 500s sporadically; retry compiles AND timed
+    bodies (a retried timing group re-measures, it doesn't accumulate)."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt == tries - 1:
+                raise
+            log(f"retry {label} after: {type(e).__name__}: {e}")
+            time.sleep(5.0)
+
+
+def _amortized_encode(enc, phrases, k=4, reps=3, label="") -> float:
+    """Best amortized seconds per encode_batch over reps groups of k
+    chained async dispatches (one host sync per group)."""
+    best = float("inf")
+    for r in range(reps):
+        def group():
+            t0 = time.perf_counter()
+            pend = [enc.encode_batch_submit(phrases) for _ in range(k)]
+            for p in pend:
+                p.result()  # host fetch = hard sync
+            return (time.perf_counter() - t0) / k
+        dt = _retry(group, label=f"{label} group{r}")
+        best = min(best, dt)
+        log(f"{label} group {r}: {dt*1e3:.1f} ms/call ({k}-chained)")
+    return best
+
+
+def _encode_program_cost(enc, batch: int, bucket: int):
+    """(flops, hbm_bytes) of the exact compiled serving program."""
+    import jax.numpy as jnp
+
+    audio = jnp.zeros((batch, bucket), jnp.float32)
+    nv = jnp.full((batch,), bucket, jnp.int32)
+    compiled = enc._encode_jit.lower(
+        enc.params, audio, nv, n_16k_frames=enc.mel_frame_budget(bucket)
+    ).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))
+
+
+def _mfu_fields(result: dict, prefix: str, flops: float, hbm: float,
+                step_s: float, platform: str, peak: float = V5E_PEAK_BF16):
+    """Attach measured FLOP/s, MFU and HBM utilization for one program."""
+    if step_s <= 0 or flops <= 0:
+        return
+    result[f"{prefix}_model_tflops_per_s"] = round(flops / step_s / 1e12, 2)
+    result[f"{prefix}_hbm_gbps"] = round(hbm / step_s / 1e9, 1)
+    if platform == "tpu":
+        result[f"{prefix}_mfu"] = round(flops / step_s / peak, 4)
+        result[f"{prefix}_hbm_util"] = round(hbm / step_s / V5E_HBM_BPS, 4)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     # Persistent compilation cache: first-compile through the remote tunnel
     # costs ~9 min; subsequent runs (e.g. the driver's) hit the cache.
-    from janus_tpu.common.platform import enable_compile_cache
+    from janus_tpu.common.platform import apply_env_platform, enable_compile_cache
 
+    apply_env_platform()
     enable_compile_cache()
 
     from janus_tpu.audio.synthetic import voiced_phrase
@@ -92,19 +163,10 @@ def main() -> None:
 
     log("compiling + warmup...")
     t0 = time.time()
-    enc.encode_batch(phrases)
+    _retry(lambda: enc.encode_batch(phrases), label="core warmup")
     log(f"warmup done in {time.time() - t0:.1f}s")
 
-    iters = 5
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        enc.encode_batch(phrases)
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        log(f"iter {i}: {dt*1e3:.1f} ms  rtf={dt/audio_seconds:.5f}")
-
-    best = min(times)
+    best = _amortized_encode(enc, phrases, k=4, reps=3, label="core")
     rtf = best / audio_seconds
     result = {
         "metric": "encode_rtf_per_chip",
@@ -114,9 +176,14 @@ def main() -> None:
         "platform": platform,
         "batch": batch,
         "phrase_seconds": seconds,
-        "timing": "min_of_n (tunnel dispatch variance; see bench.py docstring)",
-        "iter_ms_all": [round(t * 1e3, 1) for t in times],
+        "timing": "amortized k-chained dispatch, best-of-reps "
+                  "(tunnel dispatch ~300ms/call; see bench.py docstring)",
     }
+    try:
+        flops, hbm = _encode_program_cost(enc, batch, 48_000 * 10)
+        _mfu_fields(result, "encode", flops, hbm, best, platform)
+    except Exception as e:
+        log(f"encode cost analysis failed (non-fatal): {e}")
 
     # -- decode: KV-cached TTS sampling + vocoder at a fixed frame budget --
     def bench_decode(result):
@@ -144,22 +211,29 @@ def main() -> None:
         emo = jnp.zeros((dec_batch,), dtype=jnp.int32)
         log("decode: compiling...")
         t0 = time.time()
-        decode(tts_params, voc_params, text, emo).block_until_ready()
+        _retry(lambda: decode(tts_params, voc_params, text, emo)
+               .block_until_ready(), label="decode warmup")
         log(f"decode warmup {time.time()-t0:.1f}s")
-        dts = []
         gen_seconds = (
             dec_batch * max_groups * cfg.tts.reduction * cfg.vocoder.hop_length
             / cfg.vocoder.sample_rate
         )
-        for i in range(3):
-            t0 = time.perf_counter()
-            decode(tts_params, voc_params, text, emo).block_until_ready()
-            dts.append(time.perf_counter() - t0)
-            log(f"decode iter {i}: {dts[-1]*1e3:.1f} ms "
-                f"rtf={dts[-1]/gen_seconds:.5f}")
-        result["decode_rtf_per_chip"] = round(min(dts) / gen_seconds, 6)
+        k = 3
+        best = float("inf")
+        for r in range(3):
+            def group():
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(k):
+                    out = decode(tts_params, voc_params, text, emo)
+                _ = float(jnp.asarray(out)[0, 0])  # hard sync
+                return (time.perf_counter() - t0) / k
+            dt = _retry(group, label=f"decode group{r}")
+            best = min(best, dt)
+            log(f"decode group {r}: {dt*1e3:.1f} ms rtf={dt/gen_seconds:.5f}")
+        result["decode_rtf_per_chip"] = round(best / gen_seconds, 6)
         result["codec_rtf_per_chip"] = round(
-            result["value"] + min(dts) / gen_seconds, 6
+            result["value"] + best / gen_seconds, 6
         )
 
     # -- int8: per-channel int8 weights through the same encode program ----
@@ -171,84 +245,101 @@ def main() -> None:
         qenc = SemanticEncoder(cfg, asr_params=q_params,
                                buckets=(48_000 * 10,))
         log("int8: compiling...")
-        t0 = time.time()
-        qenc.encode_batch(phrases)
-        log(f"int8 warmup {time.time()-t0:.1f}s")
-        qts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            qenc.encode_batch(phrases)
-            qts.append(time.perf_counter() - t0)
-            log(f"int8 iter {i}: {qts[-1]*1e3:.1f} ms "
-                f"rtf={qts[-1]/audio_seconds:.5f}")
-        result["int8_encode_rtf_per_chip"] = round(min(qts) / audio_seconds, 6)
-        result["int8_vs_bf16"] = round(result["value"] / (min(qts) / audio_seconds), 3)
-
-    def _retry(fn, tries=3, label=""):
-        """The remote-compile tunnel 500s sporadically; retry compiles."""
-        for attempt in range(tries):
-            try:
-                return fn()
-            except Exception as e:
-                if attempt == tries - 1:
-                    raise
-                log(f"retry {label} after: {type(e).__name__}: {e}")
-                time.sleep(5.0)
+        _retry(lambda: qenc.encode_batch(phrases), label="int8 warmup")
+        best = _amortized_encode(qenc, phrases, k=4, reps=3, label="int8")
+        result["int8_encode_rtf_per_chip"] = round(best / audio_seconds, 6)
+        result["int8_vs_bf16"] = round(result["value"] / (best / audio_seconds), 3)
 
     # -- sessions: encode throughput vs concurrent batch size --------------
     def bench_sessions(result):
         sess_seconds = 2.0
-        scaling = {}
+        scaling: dict = {}
+        result["session_scaling_audio_s_per_s"] = scaling  # partials stick
         for b in (1, 8, 32, 64):
             ph = [
                 voiced_phrase(f0=150.0 + 3 * i, seconds=sess_seconds,
                               amp=0.12, seed=i)
                 for i in range(b)
             ]
-            _retry(lambda: enc.encode_batch(ph), label=f"sessions b={b}")
-            t0 = time.perf_counter()
-            it = 3
-            for _ in range(it):
-                enc.encode_batch(ph)
-            dt = (time.perf_counter() - t0) / it
+            _retry(lambda: enc.encode_batch(ph), label=f"sessions b={b} warm")
+            dt = _amortized_encode(enc, ph, k=3, reps=2,
+                                   label=f"sessions b={b}")
             scaling[str(b)] = round(b * sess_seconds / dt, 1)  # audio-s/s
             log(f"batch {b}: {dt*1e3:.1f} ms -> {scaling[str(b)]} audio-s/s")
-        result["session_scaling_audio_s_per_s"] = scaling
 
-    # -- overlap: double-buffered serving loop vs synchronous --------------
+    # -- overlap: async dispatch value, measured where it can matter -------
     def bench_overlap(result):
         from janus_tpu.audio.synthetic import conversation
         from janus_tpu.runtime.sessions import SessionManager
 
-        # Micro: pipelined encode dispatch (submit window 2) vs serial
-        # encode_batch calls — isolates the async-dispatch overlap (batch
-        # N's device time hidden behind batch N+1's host prep + dispatch).
+        # (a) Dispatch-bound regime: batch-1 phrases, where per-call host
+        # dispatch latency (~300 ms through the tunnel) dominates device
+        # compute. The inflight window hides dispatch behind device time —
+        # this is the regime overlap machinery exists for (serving many
+        # sessions whose turns end on different ticks).
+        n_single = 16
+        singles = [voiced_phrase(f0=135.0 + 7 * i, seconds=2.0, amp=0.12,
+                                 seed=100 + i) for i in range(n_single)]
+        senc = SemanticEncoder(cfg, buckets=(48_000 * 2,))
+        _retry(lambda: senc.encode_batch([singles[0]]), label="overlap warm")
+
+        def serial():
+            t0 = time.perf_counter()
+            for p in singles:
+                senc.encode_batch([p])
+            return time.perf_counter() - t0
+
+        def windowed(window=4):
+            t0 = time.perf_counter()
+            pend = []
+            for p in singles:
+                pend.append(senc.encode_batch_submit([p]))
+                while len(pend) > window:
+                    pend.pop(0).result()
+            for q in pend:
+                q.result()
+            return time.perf_counter() - t0
+
+        t_ser = min(_retry(serial, label="overlap serial") for _ in range(2))
+        t_win = min(_retry(windowed, label="overlap windowed") for _ in range(2))
+        result["overlap_dispatch_bound_speedup"] = round(t_ser / t_win, 3)
+        result["overlap_dispatch_bound_s"] = [round(t_ser, 3), round(t_win, 3)]
+        log(f"dispatch-bound: serial {t_ser:.2f}s vs windowed {t_win:.2f}s "
+            f"-> {t_ser/t_win:.2f}x")
+
+        # (b) Batched pipelining (batch-8 groups, submit window 2).
         k, window = 8, 2
         groups = [
             [voiced_phrase(f0=140.0 + 5 * (g * 4 + i), seconds=2.0,
                            amp=0.12, seed=g * 4 + i) for i in range(8)]
             for g in range(k)
         ]
-        penc = SemanticEncoder(cfg, buckets=(48_000 * 2,))
-        _retry(lambda: penc.encode_batch(groups[0]), label="overlap warm")
-        t0 = time.perf_counter()
-        for g in groups:
-            penc.encode_batch(g)
-        t_serial = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        pend = []
-        for g in groups:
-            pend.append(penc.encode_batch_submit(g))
-            while len(pend) > window:
-                pend.pop(0).result()
-        for p in pend:
-            p.result()
-        t_pipe = time.perf_counter() - t0
+        _retry(lambda: senc.encode_batch(groups[0]), label="overlap warm8")
+
+        def serial8():
+            t0 = time.perf_counter()
+            for g in groups:
+                senc.encode_batch(g)
+            return time.perf_counter() - t0
+
+        def windowed8():
+            t0 = time.perf_counter()
+            pend = []
+            for g in groups:
+                pend.append(senc.encode_batch_submit(g))
+                while len(pend) > window:
+                    pend.pop(0).result()
+            for q in pend:
+                q.result()
+            return time.perf_counter() - t0
+
+        t_serial = min(_retry(serial8, label="pipeline serial") for _ in range(2))
+        t_pipe = min(_retry(windowed8, label="pipeline windowed") for _ in range(2))
         result["encode_pipeline_speedup"] = round(t_serial / t_pipe, 3)
         log(f"encode pipelining: serial {t_serial:.2f}s vs windowed "
             f"{t_pipe:.2f}s -> {t_serial/t_pipe:.2f}x")
 
-        # Macro: the full serving tick loop at 32 sessions. Text is
+        # (c) Macro: the full serving tick loop at 32 sessions. Text is
         # injected at the host-decode hook so packet assembly runs (the
         # untrained demo ASR would emit empty transcripts and no packets).
         class _FixedText(SemanticEncoder):
@@ -295,8 +386,11 @@ def main() -> None:
         over_cfg = cfg.override(**{
             "runtime.max_inflight_encodes": 2, "runtime.pipelined_vad": True})
         _retry(lambda: run_mode(sync_cfg), label="overlap macro warm")
-        t_sync = min(run_mode(sync_cfg)[0] for _ in range(2))
-        t_over, got = sorted(run_mode(over_cfg) for _ in range(2))[0]
+        t_sync = min(_retry(lambda: run_mode(sync_cfg),
+                            label="overlap macro sync")[0] for _ in range(2))
+        t_over, got = sorted(_retry(lambda: run_mode(over_cfg),
+                                    label="overlap macro over")
+                             for _ in range(2))[0]
         assert got > 0, "serving loop produced no packets"
         result["overlap_serve_s_sync"] = round(t_sync, 3)
         result["overlap_serve_s_overlapped"] = round(t_over, 3)
@@ -315,17 +409,79 @@ def main() -> None:
         fenc = SemanticEncoder(fcfg, buckets=(48_000 * 10,))
         log("flagship: compiling large-v3 encode path...")
         t0 = time.time()
-        fenc.encode_batch(phrases)
+        _retry(lambda: fenc.encode_batch(phrases), label="flagship warmup")
         log(f"flagship warmup {time.time()-t0:.1f}s")
-        fts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            fenc.encode_batch(phrases)
-            fts.append(time.perf_counter() - t0)
-            log(f"flagship iter {i}: {fts[-1]*1e3:.1f} ms "
-                f"rtf={fts[-1]/audio_seconds:.5f}")
-        result["flagship_encode_rtf_per_chip"] = round(
-            min(fts) / audio_seconds, 6)
+        best = _amortized_encode(fenc, phrases, k=3, reps=3, label="flagship")
+        result["flagship_encode_rtf_per_chip"] = round(best / audio_seconds, 6)
+        try:
+            flops, hbm = _encode_program_cost(fenc, batch, 48_000 * 10)
+            _mfu_fields(result, "flagship", flops, hbm, best, platform)
+        except Exception as e:
+            log(f"flagship cost analysis failed (non-fatal): {e}")
+
+        # per-stage on-chip breakdown: where do the milliseconds go?
+        def stage_profile():
+            from janus_tpu.models import asr as asr_mod
+            from janus_tpu.models.params import cast_floating
+            from janus_tpu.models.tokenizer import ByteTokenizer
+            from janus_tpu.ops.energy import rms_energy
+            from janus_tpu.ops.resample import decimate_48k_to_16k
+            from janus_tpu.ops.yin import yin_track
+            from janus_tpu.runtime.codec import mel_frame_budget
+
+            acfg, pcfg = fcfg.asr, fcfg.prosody
+            tok = ByteTokenizer()
+            bucket = 48_000 * 10
+            audio = jnp.asarray(np.stack([p[:bucket] for p in phrases]))
+            n16 = mel_frame_budget(acfg, bucket)
+
+            def timed(fn, args, fetch, k=4):
+                _retry(lambda: fetch(fn(*args)), label="stage warm")
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = None
+                    for _ in range(k):
+                        out = fn(*args)
+                    fetch(out)
+                    best = min(best, (time.perf_counter() - t0) / k)
+                return best
+
+            stages = {}
+            yin_fn = jax.jit(lambda a: yin_track(
+                a, fcfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
+                pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz))
+            stages["yin"] = timed(yin_fn, (audio,),
+                                  lambda o: float(jnp.asarray(o)[0, 0]))
+            mel_fn = jax.jit(lambda a: asr_mod.prepare_mel(
+                decimate_48k_to_16k(a), acfg, pad_to_frames=n16))
+            stages["decimate_mel"] = timed(
+                mel_fn, (audio,), lambda o: float(jnp.asarray(o)[0, 0, 0]))
+            mel = mel_fn(audio)
+            enc_fn = jax.jit(lambda w, m: asr_mod.encode_audio(
+                w, acfg, m.astype(jnp.dtype(acfg.dtype)), scan_layers=True))
+            stages["encoder"] = timed(
+                enc_fn, (fenc.params, mel),
+                lambda o: float(jnp.asarray(o)[0, 0, 0]))
+            enc_out = enc_fn(fenc.params, mel)
+            prompt = jnp.broadcast_to(
+                jnp.asarray(tok.sot_sequence(), dtype=jnp.int32),
+                (batch, len(tok.sot_sequence())))
+            dec_fn = jax.jit(lambda w, e, p: asr_mod.greedy_decode(
+                w, acfg, e, p, tok.eot, max_new=acfg.max_decode_tokens,
+                scan_layers=True, cache_dtype=jnp.bfloat16))
+            stages["greedy_decode"] = timed(
+                dec_fn, (fenc.params, enc_out, prompt),
+                lambda o: int(jnp.asarray(o)[0, 0]), k=3)
+            result["flagship_stage_ms"] = {
+                k: round(v * 1e3, 1) for k, v in stages.items()
+            }
+            log(f"flagship stages: {result['flagship_stage_ms']}")
+
+        try:
+            stage_profile()
+        except Exception as e:
+            log(f"flagship stage profile failed (non-fatal): {e}")
 
         # int8 at flagship scale: 635M weights make the encode HBM-heavy,
         # the regime where the reference's CTranslate2 int8 mattered
@@ -333,20 +489,21 @@ def main() -> None:
         from janus_tpu.models import asr as asr_mod
         from janus_tpu.ops.quant import quantize_tree
 
-        fq = quantize_tree(asr_mod.init_asr(0, fcfg.asr))
-        fqenc = SemanticEncoder(fcfg, asr_params=fq, buckets=(48_000 * 10,))
-        log("flagship int8: compiling...")
-        _retry(lambda: fqenc.encode_batch(phrases), label="flagship int8")
-        qts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            fqenc.encode_batch(phrases)
-            qts.append(time.perf_counter() - t0)
-            log(f"flagship int8 iter {i}: {qts[-1]*1e3:.1f} ms "
-                f"rtf={qts[-1]/audio_seconds:.5f}")
-        result["flagship_int8_encode_rtf_per_chip"] = round(
-            min(qts) / audio_seconds, 6)
-        result["flagship_int8_vs_bf16"] = round(min(fts) / min(qts), 3)
+        base = asr_mod.init_asr(0, fcfg.asr)
+        for mode, key in (("weight", "flagship_int8"),
+                          ("dynamic", "flagship_int8_dynamic")):
+            fq = quantize_tree(base, mode=mode)
+            fqenc = SemanticEncoder(fcfg, asr_params=fq,
+                                    buckets=(48_000 * 10,))
+            log(f"flagship int8[{mode}]: compiling...")
+            _retry(lambda: fqenc.encode_batch(phrases),
+                   label=f"flagship int8 {mode}")
+            qbest = _amortized_encode(fqenc, phrases, k=3, reps=2,
+                                      label=f"int8[{mode}]")
+            result[f"{key}_encode_rtf_per_chip"] = round(
+                qbest / audio_seconds, 6)
+            result[f"{key}_vs_bf16"] = round(best / qbest, 3)
+            del fq, fqenc
 
     _section(result, "decode", bench_decode)
     _section(result, "int8", bench_int8)

@@ -28,7 +28,13 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     """``x[..., d_in] @ w[d_in, d_out] (+ b)`` with fp32 MXU accumulation.
 
     ``w`` may be a :class:`janus_tpu.ops.quant.QuantizedWeight` (weight-only
-    int8: dequantized on the fly, halving weight HBM traffic)."""
+    int8: dequantized on the fly, halving weight HBM traffic) or a
+    :class:`janus_tpu.ops.quant.DynQuantizedWeight` (full int8: dynamic
+    per-row activation quantization, int8 x int8 -> int32 on the MXU)."""
+    if type(w).__name__ == "DynQuantizedWeight":
+        from janus_tpu.ops.quant import linear_int8_dynamic
+
+        return linear_int8_dynamic(x, w, b)
     if type(w).__name__ == "QuantizedWeight":
         w = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)

@@ -28,6 +28,7 @@ from janus_tpu.models.params import map_with_paths
 
 __all__ = [
     "QuantizedWeight",
+    "DynQuantizedWeight",
     "quantize_weight",
     "dequant",
     "linear_int8_dynamic",
@@ -36,7 +37,23 @@ __all__ = [
 
 
 class QuantizedWeight(NamedTuple):
-    """``q[d_in, d_out] int8`` with per-output-channel ``scale[d_out]``."""
+    """``q[d_in, d_out] int8`` with per-output-channel ``scale[d_out]``.
+
+    Weight-only mode: consumed by :func:`janus_tpu.ops.layers.linear` via
+    on-the-fly dequantization (halves weight HBM traffic vs bf16; MXU math
+    stays bf16)."""
+
+    q: jax.Array
+    scale: jax.Array
+
+
+class DynQuantizedWeight(NamedTuple):
+    """Same storage as :class:`QuantizedWeight`, but tagged for the full
+    int8 path: activations are quantized per-row at runtime and the matmul
+    runs int8 x int8 -> int32 on the MXU (2x the bf16 MXU throughput on
+    v5e) before the fp32 rescale. The type IS the dispatch tag — linear()
+    routes on it, so one ``quantize_tree(mode=...)`` call flips a whole
+    model between the two regimes."""
 
     q: jax.Array
     scale: jax.Array
@@ -54,13 +71,15 @@ def dequant(qw: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
     return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
 
 
-def linear_int8_dynamic(x: jax.Array, qw: QuantizedWeight,
-                        b: jax.Array | None = None) -> jax.Array:
+def linear_int8_dynamic(x: jax.Array, qw, b: jax.Array | None = None) -> jax.Array:
     """Full int8 path: per-row dynamic activation quantization,
-    int8 × int8 → int32 accumulate, fp32 rescale."""
-    x_amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    int8 × int8 → int32 accumulate, fp32 rescale. ``qw`` is any
+    ``(q, scale)`` pair (:class:`QuantizedWeight` or
+    :class:`DynQuantizedWeight`)."""
+    xf = x.astype(jnp.float32)
+    x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, qw.q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -71,9 +90,20 @@ def linear_int8_dynamic(x: jax.Array, qw: QuantizedWeight,
     return y.astype(x.dtype)
 
 
-def quantize_tree(params: Any, min_size: int = 4096) -> Any:
+def quantize_tree(params: Any, min_size: int = 4096,
+                  mode: str = "weight") -> Any:
     """Replace every 2-D float weight leaf named ``.../w`` with a
-    :class:`QuantizedWeight` (embeddings, norms, biases, convs untouched)."""
+    quantized pair (embeddings, norms, biases, convs untouched).
+
+    ``mode='weight'`` (default): :class:`QuantizedWeight` — int8 storage,
+    bf16 MXU math. ``mode='dynamic'``: :class:`DynQuantizedWeight` —
+    int8 x int8 MXU math with per-row dynamic activation scales (the
+    AQT-style inference path; reference analog CTranslate2
+    ``compute_type='int8'``, reference backend/services/transcriber.py:26).
+    """
+    if mode not in ("weight", "dynamic"):
+        raise ValueError(f"unknown quantization mode: {mode!r}")
+    cls = QuantizedWeight if mode == "weight" else DynQuantizedWeight
 
     def maybe_quant(path: str, leaf):
         if (
@@ -82,7 +112,7 @@ def quantize_tree(params: Any, min_size: int = 4096) -> Any:
             and jnp.issubdtype(leaf.dtype, jnp.floating)
             and leaf.size >= min_size
         ):
-            return quantize_weight(leaf)
+            return cls(*quantize_weight(leaf))
         return leaf
 
     return map_with_paths(maybe_quant, params)

@@ -223,6 +223,10 @@ class SemanticEncoder:
         tokens = asr_mod.greedy_decode(
             params, acfg, enc, prompt, self.tokenizer.eot,
             max_new=acfg.max_decode_tokens, scan_layers=scan,
+            # KV + cross-KV caches in the compute dtype: at flagship scale
+            # the decode loop re-reads the cross-attention K/V every step,
+            # so fp32 caches would double the dominant HBM stream
+            cache_dtype=self._compute_dtype,
         )
         return tokens, energy_code, pitch_code, f0, rms
 

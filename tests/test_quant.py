@@ -51,6 +51,63 @@ def test_dynamic_int8_linear(rng):
     assert rel < 0.02
 
 
+def test_linear_dispatches_dyn_quantized_weight(rng):
+    """linear() must route DynQuantizedWeight through the int8 MXU path
+    (identical numerics to calling linear_int8_dynamic directly)."""
+    from janus_tpu.ops.quant import DynQuantizedWeight
+
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal((64,)).astype(np.float32)) * 0.1
+    qw = DynQuantizedWeight(*quantize_weight(w))
+    via_linear = np.asarray(linear(x, qw, b))
+    direct = np.asarray(linear_int8_dynamic(x, qw, b))
+    np.testing.assert_array_equal(via_linear, direct)
+    rel = (np.linalg.norm(via_linear - np.asarray(linear(x, w, b)))
+           / np.linalg.norm(np.asarray(linear(x, w, b))))
+    assert rel < 0.02
+
+
+def test_dynamic_int8_uses_int8_dot(rng):
+    """The compiled dynamic path must actually carry s8 x s8 -> s32 dot
+    ops (not dequantize into a float matmul)."""
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32)) * 0.05
+    qw = quantize_tree({"proj": {"w": w}}, min_size=1, mode="dynamic")["proj"]["w"]
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    hlo = jax.jit(lambda a, q: linear(a, q)).lower(x, qw).as_text()
+    assert "tensor<8x128xi8>" in hlo  # quantized activations
+    assert "tensor<8x64xi32>" in hlo  # int32 MXU accumulator
+
+
+def test_quantize_tree_dynamic_mode():
+    from janus_tpu.ops.quant import DynQuantizedWeight
+
+    cfg = ASRConfig(n_mels=16, d_model=64, encoder_layers=1, decoder_layers=1,
+                    num_heads=4, vocab_size=300, max_source_positions=32,
+                    max_target_positions=16)
+    params = asr_mod.init_asr(0, cfg)
+    qparams = quantize_tree(params, mode="dynamic")
+    assert isinstance(
+        _lookup(qparams, "encoder/blocks/0/mlp/fc1/w"), DynQuantizedWeight
+    )
+    with pytest.raises(ValueError):
+        quantize_tree(params, mode="int4")
+
+
+def test_dynamic_quantized_asr_forward_close_to_fp32(rng):
+    cfg = ASRConfig(n_mels=16, d_model=64, encoder_layers=2, decoder_layers=1,
+                    num_heads=4, vocab_size=300, max_source_positions=32,
+                    max_target_positions=16)
+    params = asr_mod.init_asr(0, cfg)
+    qparams = quantize_tree(params, mode="dynamic")
+    rng_l = np.random.default_rng(3)
+    mel = jnp.asarray(rng_l.standard_normal((1, 64, 16)).astype(np.float32))
+    ref = np.asarray(asr_mod.encode_audio(params, cfg, mel))
+    out = np.asarray(asr_mod.encode_audio(qparams, cfg, mel))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.08
+
+
 def test_quantize_tree_selectivity():
     cfg = ASRConfig(n_mels=16, d_model=64, encoder_layers=1, decoder_layers=1,
                     num_heads=4, vocab_size=300, max_source_positions=32,
