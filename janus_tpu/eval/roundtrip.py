@@ -213,14 +213,22 @@ def evaluate_roundtrip(
             ids = tok.encode(turn_text)[:width]
             padded = np.full((1, width), tok.pad, np.int32)
             padded[0, : len(ids)] = ids
-            mel, n_frames = tts_mod.tts_generate(
-                synth.tts_params, synth_cfg.tts, jnp.asarray(padded),
+
+            # jitted end-to-end: EAGER complex ops (the vocoder's iSTFT
+            # spectra) are UNIMPLEMENTED on some remote TPU backends
+            # (CLAUDE.md); params stay traced args, never closed over
+            def _gen(tp, vp, ids_j, emo, spk_j):
+                mel, n_frames = tts_mod.tts_generate(
+                    tp, synth_cfg.tts, ids_j, emo, speaker=spk_j,
+                    text_vocab=tok.vocab_size,
+                )
+                return voc_mod.vocoder_waveform(vp, synth_cfg.vocoder, mel), n_frames
+
+            wav, n_frames = jax.jit(_gen)(
+                synth.tts_params, synth.vocoder_params, jnp.asarray(padded),
                 jnp.asarray([0], jnp.int32),
-                speaker=None if spk is None else jnp.asarray(spk)[None, :],
-                text_vocab=tok.vocab_size,
+                None if spk is None else jnp.asarray(spk)[None, :],
             )
-            wav = voc_mod.vocoder_waveform(
-                synth.vocoder_params, synth_cfg.vocoder, mel)
             n = int(np.asarray(n_frames)[0]) * synth_cfg.vocoder.hop_length
             wav = np.asarray(wav)[0, :n]
             if synth_cfg.vocoder.sample_rate != sr:
@@ -258,6 +266,120 @@ def evaluate_roundtrip(
     }
     if pad_match is not None:
         out["tts_padding_transcript_match"] = pad_match
+    if tts_params is not None:
+        out.update(evaluate_emotion_roundtrip(synth, encoder))
+        out.update(evaluate_voice_clone_identity(
+            synth.tts_params, synth_cfg.tts, synth.vocoder_params,
+            synth_cfg.vocoder))
+    return out
+
+
+# Wire-reachable semantic emotion tags and a prosody combo that produces
+# each (tts_emotion_tag truth table; 'sad' needs pitch 'Low' which the
+# extractor never emits — the reference's dead branch, docs/PARITY.md).
+REACHABLE_EMOTIONS = (
+    ("excited", ("High", "Loud")),
+    ("joyful", ("High", "Normal")),
+    ("whispering", ("High", "Quiet")),
+    ("shouting", ("Normal", "Loud")),
+    ("relaxed", ("Normal", "Normal")),
+)
+
+
+def evaluate_emotion_roundtrip(synth, encoder, text: str = "kilo echo papa") -> Dict:
+    """Per-emotion round trip THROUGH THE SYNTHESIZER: every wire-reachable
+    emotion tag must still transcribe to the original text (emotion
+    modulates affect, never content — the round-2 regression where emotion
+    rendering scaled the F0 ladder made this 0/5)."""
+    matches = {}
+    for tag, (pitch, energy) in REACHABLE_EMOTIONS:
+        p = JanusPacket(text=text,
+                        prosody={"energy": energy, "pitch": pitch},
+                        timestamp=0.0)
+        audio = synth.synthesize(p)
+        pcm = np.frombuffer(audio, dtype=np.int16).astype(np.float32) / 32768.0
+        hyp = encoder.encode_batch([pcm])[0]["text"] if len(pcm) else ""
+        matches[tag] = bool(hyp == text)
+    return {
+        "emotion_roundtrip_match": round(
+            sum(matches.values()) / len(matches), 4),
+        "emotion_roundtrip_by_tag": matches,
+    }
+
+
+def evaluate_voice_clone_identity(tts_params, tts_cfg, vocoder_params,
+                                  vocoder_cfg, text: str = "lima oscar") -> Dict:
+    """Closed-set speaker identification of CLONED audio: synthesize
+    ``text`` conditioned on each enrolled speaker's embedding, re-embed the
+    synthesized waveform, and check the nearest enrollment is the target
+    speaker (the reference's voice cloning ships reference audio to the
+    cloud TTS — backend/services/synthesizer.py:183-200; here identity is
+    measurable locally)."""
+    import jax
+    import jax.numpy as jnp
+
+    from janus_tpu.models import tts as tts_mod
+    from janus_tpu.models import vocoder as voc_mod
+    from janus_tpu.models.speaker import speaker_embed
+    from janus_tpu.train.demo import demo_speaker_vectors
+
+    tok = ByteTokenizer()
+    spk_params, vecs = demo_speaker_vectors(tts_cfg)
+    enroll = np.stack(vecs)  # [S, d]
+
+    ids = tok.encode(text)
+    from janus_tpu.models.tts import text_bucket
+
+    width = text_bucket(len(ids), tts_cfg.max_text_tokens)
+    padded = np.full((1, width), tok.pad, np.int32)
+    padded[0, : len(ids)] = ids
+
+    def _gen(tp, vp, t_ids, emo, spk):
+        mel, n_frames = tts_mod.tts_generate(
+            tp, tts_cfg, t_ids, emo, speaker=spk, text_vocab=tok.vocab_size)
+        return voc_mod.vocoder_waveform(vp, vocoder_cfg, mel), n_frames
+
+    gen = jax.jit(_gen)
+    correct, sims = 0, []
+    for s in range(len(vecs)):
+        wav, nf = gen(tts_params, vocoder_params, jnp.asarray(padded),
+                      jnp.asarray([0], jnp.int32),
+                      jnp.asarray(enroll[s])[None, :])
+        n = int(np.asarray(nf)[0]) * vocoder_cfg.hop_length
+        w = jnp.asarray(np.asarray(wav)[0, :n])
+        emb = np.asarray(jax.jit(
+            lambda p, a: speaker_embed(p, a, n_mels=tts_cfg.n_mels)
+        )(spk_params, w))
+        cos = enroll @ emb  # embeddings are L2-normalized
+        sims.append(float(cos[s]))
+        correct += int(np.argmax(cos) == s)
+    return {
+        "voice_clone_identity": f"{correct}/{len(vecs)}",
+        "voice_clone_identity_frac": round(correct / len(vecs), 4),
+        "voice_clone_target_cos_mean": round(float(np.mean(sims)), 4),
+    }
+
+
+def evaluate_hard_asr(params, cfg, n_utterances: int = 32,
+                      seed: int = 321) -> Dict:
+    """WER of the hard-corpus ASR (256-word vocabulary, 16 speakers,
+    0.8-1.25x rates, emotion renderings) clean and under additive noise —
+    the zero-egress stand-in for real-speech difficulty (VERDICT r2)."""
+    from janus_tpu.train.demo import HARD_CORPUS, evaluate_asr
+
+    tok = ByteTokenizer()
+    out: Dict = {"hard_vocab_words": len(HARD_CORPUS["vocab"]),
+                 "hard_n_speakers": HARD_CORPUS["n_speakers"]}
+    for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
+                       ("snr5", (5.0, 5.0)), ("snr0", (0.0, 0.0))):
+        corpus = dict(HARD_CORPUS)
+        if snr is None:
+            corpus.pop("snr_db_range", None)
+        else:
+            corpus["snr_db_range"] = snr
+        wer, _ = evaluate_asr(params, cfg, tok, n_utterances=n_utterances,
+                              seed=seed, corpus=corpus, max_seconds=3.84)
+        out[f"hard_wer_{label}"] = round(wer, 4)
     return out
 
 
@@ -271,6 +393,7 @@ def main() -> None:
     parser.add_argument("--asr-ckpt", default="checkpoints/demo_asr.npz")
     parser.add_argument("--tts-ckpt", default="checkpoints/demo_tts.npz")
     parser.add_argument("--voc-ckpt", default="checkpoints/demo_vocoder.npz")
+    parser.add_argument("--hard-ckpt", default="checkpoints/demo_asr_hard.npz")
     parser.add_argument("--n", type=int, default=16)
     parser.add_argument(
         "--min-snr", type=float,
@@ -296,6 +419,11 @@ def main() -> None:
         kw["vocoder_params"] = load_npz_params(args.voc_ckpt)
         kw["vocoder_cfg"] = demo_vocoder_config()
     metrics = evaluate_roundtrip(params, demo_asr_config(), n_utterances=args.n, **kw)
+    if os.path.exists(args.hard_ckpt):
+        from janus_tpu.train.demo import hard_asr_config
+
+        metrics.update(evaluate_hard_asr(
+            load_npz_params(args.hard_ckpt), hard_asr_config()))
     print(json.dumps(metrics, indent=2))
     if args.min_snr == args.min_snr:  # not NaN -> the floor is armed
         if metrics["vocoder_copy_snr_db"] < args.min_snr:

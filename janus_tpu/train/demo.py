@@ -44,6 +44,74 @@ def demo_asr_config() -> ASRConfig:
     )
 
 
+def hard_asr_config() -> ASRConfig:
+    """Geometry for the HARD corpus (256-word vocabulary, 16 speakers,
+    0.8-1.25x speaking rates, additive noise, up to 5-word utterances —
+    janus_tpu.train.synthetic_task.HARD_WORDS). Longer encoder window
+    (3.84 s) and a wider model than the toy demo."""
+    return ASRConfig(
+        n_mels=80, d_model=192, encoder_layers=3, decoder_layers=3,
+        num_heads=6, vocab_size=ByteTokenizer().vocab_size,
+        max_source_positions=192, max_target_positions=64,
+        max_decode_tokens=48, dtype="float32",
+    )
+
+
+# Corpus knobs shared by the standard retrain and the roundtrip eval: the
+# demo ASR must transcribe everything the demo TTS can RENDER — all
+# emotion renderings (rate 0.85-1.3x, tremolo/vibrato, whisper-to-shout
+# amplitudes) across the 4 fixed speaker timbres.
+STANDARD_CORPUS = dict(
+    n_speakers=4,
+    rate_range=(0.95, 1.05),
+    emotions=("neutral", "excited", "joyful", "whispering", "shouting",
+              "sad", "relaxed", "panicked", "serious", "calm", "angry"),
+)
+
+def _hard_corpus() -> dict:
+    from janus_tpu.train.synthetic_task import HARD_WORDS
+
+    return dict(
+        vocab=HARD_WORDS,
+        n_speakers=16,
+        rate_range=(0.8, 1.25),
+        snr_db_range=(8.0, 30.0),
+        min_words=1,
+        max_words=5,
+        emotions=("neutral", "excited", "joyful", "whispering", "shouting",
+                  "sad", "relaxed", "panicked", "serious", "calm", "angry"),
+    )
+
+
+HARD_CORPUS = _hard_corpus()
+
+
+def build_asr_pool(rng, pool_n: int, tok, cfg: ASRConfig,
+                   max_seconds: float, corpus: dict):
+    """Pre-rendered utterance pool (audio16[N, T], tokens[N, L],
+    mask[N, L]): per-step host rendering would serialize with remote
+    dispatch (CLAUDE.md), so the train loop only indexes numpy arrays.
+    Audio goes through the serving path's 48 kHz capture + anti-aliased
+    decimation."""
+    import jax
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.resample import decimate_48k_to_16k, resample_poly
+
+    audio, tokens, mask, texts = sample_batch(
+        rng, pool_n, tok, max_seconds=max_seconds,
+        max_tokens=cfg.max_target_positions, augment=True, **corpus,
+    )
+    # match the serving path: capture at 48 kHz, anti-aliased decimation
+    # back to 16 kHz (the SemanticEncoder's own frontend filtering).
+    # Chunked so the 48 kHz intermediate stays small.
+    out16 = np.zeros_like(audio)
+    dec = jax.jit(lambda a: decimate_48k_to_16k(resample_poly(a, up=3, down=1)))
+    for i in range(0, pool_n, 64):
+        out16[i : i + 64] = np.asarray(dec(jnp.asarray(audio[i : i + 64])))
+    return out16, tokens, mask, texts
+
+
 def train_demo_asr(
     steps: int = 600,
     batch: int = 16,
@@ -52,53 +120,60 @@ def train_demo_asr(
     mesh=None,
     learning_rate: float = 1e-3,
     log_every: int = 50,
+    corpus: Optional[dict] = None,
+    max_seconds: float = 2.0,
+    pool_n: Optional[int] = None,
 ):
-    """Returns (params, cfg, tokenizer, history)."""
+    """Returns (params, cfg, tokenizer, history). ``corpus`` forwards
+    hard-corpus knobs to :func:`sample_batch` (vocab / speakers / rates /
+    noise / emotions); default is the legacy single-voice neutral task."""
+    import jax.numpy as jnp
+
+    from janus_tpu.models.asr import prepare_mel
+
     cfg = cfg or demo_asr_config()
     tok = ByteTokenizer()
     mesh = mesh or build_mesh(MeshConfig(data=1, model=1, seq=1))
     params = asr_mod.init_asr(seed, cfg)
+    n_frames = 2 * cfg.max_source_positions
 
-    def loss_fn(p, mel, tokens, mask):
+    def loss_fn(p, audio16, tokens, mask):
+        # mel INSIDE the jitted step: one dispatch per step, no host sync
+        mel = prepare_mel(audio16, cfg, pad_to_frames=n_frames)
         return asr_loss(p, cfg, mel, tokens, mask)
 
     trainer = Trainer(loss_fn, mesh, ASR_PARTITION_RULES,
                       learning_rate=learning_rate)
     state = trainer.create_state(params)
 
-    import jax.numpy as jnp
-
-    from janus_tpu.models.asr import prepare_mel
-
-    from janus_tpu.ops.resample import decimate_48k_to_16k, resample_poly
-
     rng = np.random.default_rng(seed)
-    max_seconds = 2.0
-    n_frames = 2 * cfg.max_source_positions  # 256 frames = 2.56 s budget
-    history = []
+    pool_n = pool_n or max(512, 4 * batch)
+    pool_audio, pool_tokens, pool_mask, _ = build_asr_pool(
+        rng, pool_n, tok, cfg, max_seconds, corpus or {})
+
+    history = []  # device scalars; float() only at log points so the
+    # host never blocks per step (async dispatch pipelines the tunnel RTT)
     t0 = time.time()
     for step in range(steps):
-        audio, tokens, mask, _texts = sample_batch(
-            rng, batch, tok, max_seconds=max_seconds,
-            max_tokens=cfg.max_target_positions, augment=True,
-        )
-        # match the serving path: capture at 48 kHz, anti-aliased decimation
-        # back to 16 kHz (the SemanticEncoder's own frontend filtering)
-        audio48 = resample_poly(jnp.asarray(audio), up=3, down=1)
-        audio = decimate_48k_to_16k(audio48)
-        mel = np.asarray(prepare_mel(jnp.asarray(audio), cfg,
-                                     pad_to_frames=n_frames))
-        state, metrics = trainer.train_step(state, mel, tokens, mask)
-        history.append(float(metrics["loss"]))
+        idx = rng.choice(pool_n, size=batch, replace=False)
+        state, metrics = trainer.train_step(
+            state, pool_audio[idx], pool_tokens[idx], pool_mask[idx])
+        history.append(metrics["loss"])
         if log_every and step % log_every == 0:
             logger.info("step %d loss=%.4f acc=%.3f (%.1fs)", step,
-                        metrics["loss"], metrics["asr_acc"], time.time() - t0)
-    return state.params, cfg, tok, history
+                        float(metrics["loss"]), float(metrics["asr_acc"]),
+                        time.time() - t0)
+    return state.params, cfg, tok, [float(h) for h in history]
 
 
 def evaluate_asr(params, cfg: ASRConfig, tok: ByteTokenizer,
-                 n_utterances: int = 16, seed: int = 123) -> Tuple[float, list]:
-    """Greedy-decode fresh utterances; returns (WER, [(ref, hyp), ...])."""
+                 n_utterances: int = 16, seed: int = 123,
+                 corpus: Optional[dict] = None,
+                 max_seconds: float = 2.0) -> Tuple[float, list]:
+    """Greedy-decode fresh utterances; returns (WER, [(ref, hyp), ...]).
+    ``corpus`` selects the evaluation distribution (same knobs as
+    training; e.g. ``{**HARD_CORPUS, 'snr_db_range': (5.0, 5.0)}`` for
+    WER-under-noise)."""
     import jax.numpy as jnp
 
     from janus_tpu.eval.metrics import word_error_rate
@@ -106,8 +181,8 @@ def evaluate_asr(params, cfg: ASRConfig, tok: ByteTokenizer,
 
     rng = np.random.default_rng(seed)
     audio, _tokens, _mask, texts = sample_batch(
-        rng, n_utterances, tok, max_seconds=2.0,
-        max_tokens=cfg.max_target_positions,
+        rng, n_utterances, tok, max_seconds=max_seconds,
+        max_tokens=cfg.max_target_positions, **(corpus or {}),
     )
     mel = prepare_mel(jnp.asarray(audio), cfg,
                       pad_to_frames=2 * cfg.max_source_positions)

@@ -154,10 +154,11 @@ def main() -> None:
     apply_env_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", default="tts,vocoder",
-                    help="comma list: tts, vocoder, asr")
+                    help="comma list: tts, vocoder, asr, asr_hard")
     ap.add_argument("--tts-steps", type=int, default=3000)
     ap.add_argument("--voc-steps", type=int, default=8000)
     ap.add_argument("--asr-steps", type=int, default=1500)
+    ap.add_argument("--hard-steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
     args = ap.parse_args()
@@ -168,11 +169,35 @@ def main() -> None:
     what = {w.strip() for w in args.what.split(",")}
 
     if "asr" in what:
+        # STANDARD_CORPUS: the ASR must transcribe every emotion rendering
+        # the demo TTS can produce (rate/tremolo/vibrato/amplitude), or
+        # round-trip WER dies on emotion-tagged packets (round-2 regression)
         params, cfg, tok, hist = demo_mod.train_demo_asr(
-            args.asr_steps, args.batch)
-        wer, _ = demo_mod.evaluate_asr(params, cfg, tok)
+            args.asr_steps, args.batch, corpus=demo_mod.STANDARD_CORPUS)
+        wer, _ = demo_mod.evaluate_asr(params, cfg, tok,
+                                       corpus=demo_mod.STANDARD_CORPUS)
         logger.info("asr final loss=%.4f WER=%.3f", hist[-1], wer)
         save_npz(f"{args.out_dir}/demo_asr.npz", params)
+
+    if "asr_hard" in what:
+        # HARD corpus: 256-word vocabulary, 16 speakers, 0.8-1.25x rates,
+        # 8-30 dB SNR noise, up to 5-word utterances (VERDICT r2 item 2a)
+        params, cfg, tok, hist = demo_mod.train_demo_asr(
+            args.hard_steps, args.batch, cfg=demo_mod.hard_asr_config(),
+            corpus=demo_mod.HARD_CORPUS, max_seconds=3.84, pool_n=2048,
+            learning_rate=7e-4)
+        save_npz(f"{args.out_dir}/demo_asr_hard.npz", params)
+        for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
+                           ("snr5", (5.0, 5.0))):
+            corpus = dict(demo_mod.HARD_CORPUS)
+            corpus["snr_db_range"] = snr
+            if snr is None:
+                corpus.pop("snr_db_range")
+            wer, pairs = demo_mod.evaluate_asr(
+                params, cfg, tok, n_utterances=32, corpus=corpus,
+                max_seconds=3.84)
+            logger.info("asr_hard WER[%s]=%.3f  (e.g. ref=%r hyp=%r)",
+                        label, wer, pairs[0][0], pairs[0][1])
 
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(

@@ -19,11 +19,15 @@ import numpy as np
 
 __all__ = [
     "WORDS",
+    "HARD_WORDS",
+    "make_word_list",
     "char_frequency",
+    "speaker_timbre",
     "render_text",
     "sample_text",
     "sample_batch",
     "mel_targets_for",
+    "add_noise_snr",
 ]
 
 # Small closed vocabulary: enough structure to be language-like, small
@@ -32,6 +36,36 @@ WORDS = (
     "alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel",
     "india", "juliet", "kilo", "lima", "mike", "nov", "oscar", "papa",
 )
+
+
+def make_word_list(n_words: int = 256, seed: int = 1234,
+                   min_syllables: int = 2, max_syllables: int = 4) -> tuple:
+    """Deterministic pronounceable vocabulary of ``n_words`` unique
+    CV-syllable words (e.g. 'bakilo', 'zumepa'). This is the *hard-corpus*
+    word inventory: at 256+ words the ASR can no longer pattern-match a
+    handful of templates — it must genuinely track the per-character
+    frequency ladder through speaker/rate/noise variation (the zero-egress
+    stand-in for open-vocabulary English; reference capability:
+    backend/services/transcriber.py:23-64)."""
+    cons = "bdfgjklmnprstvz"
+    vowels = "aeiou"
+    rng = np.random.default_rng(seed)
+    words: List[str] = []
+    seen = set()
+    while len(words) < n_words:
+        n_syl = int(rng.integers(min_syllables, max_syllables + 1))
+        w = "".join(
+            cons[int(rng.integers(0, len(cons)))]
+            + vowels[int(rng.integers(0, len(vowels)))]
+            for _ in range(n_syl)
+        )
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return tuple(words)
+
+
+HARD_WORDS = make_word_list(256)
 
 CHAR_SECONDS = 0.06      # per-character tone duration
 WORD_GAP_SECONDS = 0.04  # silence between words
@@ -56,50 +90,87 @@ SPEAKER_TIMBRES = (
 )
 
 
-# Emotion → (f0 scale, amplitude scale): how the corpus *renders* the
-# emotion tags of the wire protocol (reference tags:
-# backend/services/synthesizer.py:158-175). Neutral is identity so
-# emotion-less checkpoints keep their distribution.
+def speaker_timbre(speaker: int) -> Tuple[float, float, float]:
+    """Harmonic gain profile for an arbitrary speaker index. Indices
+    0..3 return the fixed :data:`SPEAKER_TIMBRES` (checkpoint compat);
+    higher indices get deterministic pseudo-random timbres, giving the
+    hard corpus an open set of voices."""
+    if speaker < len(SPEAKER_TIMBRES):
+        return SPEAKER_TIMBRES[speaker % len(SPEAKER_TIMBRES)]
+    r = np.random.default_rng(9000 + speaker)
+    return (float(r.uniform(0.3, 1.2)), float(r.uniform(0.0, 2.2)),
+            float(r.uniform(0.0, 2.2)))
+
+
+# Emotion → (amplitude scale, speaking-rate scale, vibrato depth, tremolo
+# depth): how the corpus *renders* the emotion tags of the wire protocol
+# (reference tags: backend/services/synthesizer.py:158-175). Deliberately
+# NO F0 scaling: in the tone language the character F0 ladder IS the text
+# content, so an emotion that shifted F0 would corrupt the transcript —
+# exactly as a real TTS keeps phonemes intelligible while varying affect.
+# (Round-2 rendering scaled F0 and broke round-trip WER; see docs/PARITY.md.)
+# Vibrato depth is capped ≤ 0.015: the ladder step at 'z' (720 Hz) is
+# 24/720 ≈ 3.3%, so deeper vibrato would cross character boundaries.
 EMOTION_RENDERING = {
-    "neutral":    (1.00, 1.00),
-    "excited":    (1.30, 1.60),
-    "joyful":     (1.30, 1.00),
-    "whispering": (1.00, 0.35),
-    "shouting":   (1.00, 1.80),
-    "sad":        (0.80, 0.70),
-    "relaxed":    (0.85, 1.00),
-    "panicked":   (1.45, 1.60),
-    "serious":    (0.85, 1.10),
-    "calm":       (0.90, 0.85),
-    "angry":      (1.10, 1.70),
-    "auto":       (1.00, 1.00),
+    #              amp   rate  vibrato tremolo
+    "neutral":    (1.00, 1.00, 0.000, 0.00),
+    "excited":    (1.60, 1.15, 0.012, 0.30),
+    "joyful":     (1.15, 1.10, 0.012, 0.20),
+    "whispering": (0.35, 0.95, 0.000, 0.10),
+    "shouting":   (1.80, 1.05, 0.000, 0.00),
+    "sad":        (0.70, 0.85, 0.008, 0.10),
+    "relaxed":    (1.00, 0.90, 0.000, 0.00),
+    "panicked":   (1.60, 1.30, 0.015, 0.35),
+    "serious":    (1.10, 0.90, 0.000, 0.00),
+    "calm":       (0.85, 0.90, 0.000, 0.00),
+    "angry":      (1.70, 1.10, 0.000, 0.40),
+    "auto":       (1.00, 1.00, 0.000, 0.00),
 }
+
+VIBRATO_HZ = 6.0
+TREMOLO_HZ = 5.0
 
 
 def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
                 noise: float = 0.002, seed: int = 0,
-                speaker: int = 0, emotion: str = "neutral") -> np.ndarray:
-    """Deterministic waveform for a text string. ``speaker`` selects a
-    harmonic timbre profile (voice identity); ``emotion`` scales F0 and
-    amplitude per :data:`EMOTION_RENDERING`."""
+                speaker: int = 0, emotion: str = "neutral",
+                rate: float = 1.0) -> np.ndarray:
+    """Deterministic waveform for a text string.
+
+    ``speaker`` selects a harmonic timbre profile (voice identity, any
+    index via :func:`speaker_timbre`); ``emotion`` modulates amplitude /
+    rate / vibrato / tremolo per :data:`EMOTION_RENDERING` while leaving
+    the character F0 ladder untouched; ``rate`` is an additional
+    speaking-rate multiplier (>1 = faster) for corpus difficulty."""
     rng = np.random.default_rng(seed)
-    h1, h2, h3 = SPEAKER_TIMBRES[speaker % len(SPEAKER_TIMBRES)]
-    f0_scale, amp_scale = EMOTION_RENDERING.get(emotion, (1.0, 1.0))
+    h1, h2, h3 = speaker_timbre(speaker)
+    amp_scale, rate_scale, vib, trem = EMOTION_RENDERING.get(
+        emotion, (1.0, 1.0, 0.0, 0.0))
     amp = amp * amp_scale
+    total_rate = max(rate * rate_scale, 1e-3)
     segs: List[np.ndarray] = []
-    n_char = int(CHAR_SECONDS * sample_rate)
-    n_gap = int(WORD_GAP_SECONDS * sample_rate)
+    n_char = max(16, int(CHAR_SECONDS / total_rate * sample_rate))
+    n_gap = max(8, int(WORD_GAP_SECONDS / total_rate * sample_rate))
     for w, word in enumerate(text.split()):
         if w > 0:
             segs.append(np.zeros(n_gap, dtype=np.float32))
         for c in word:
-            f0 = char_frequency(c) * f0_scale
+            f0 = char_frequency(c)
             t = np.arange(n_char) / sample_rate
+            # phase-modulated vibrato: instantaneous frequency
+            # f0 * (1 + vib*cos(2π f_v t)) — char identity preserved
+            phase = 2 * np.pi * f0 * t
+            if vib > 0:
+                phase = phase + (f0 * vib / VIBRATO_HZ) * np.sin(
+                    2 * np.pi * VIBRATO_HZ * t)
             x = (
-                amp * h1 * np.sin(2 * np.pi * f0 * t)
-                + (amp / 2) * h2 * np.sin(2 * np.pi * 2 * f0 * t)
-                + (amp / 4) * h3 * np.sin(2 * np.pi * 3 * f0 * t)
+                amp * h1 * np.sin(phase)
+                + (amp / 2) * h2 * np.sin(2 * phase)
+                + (amp / 4) * h3 * np.sin(3 * phase)
             )
+            if trem > 0:
+                x = x * (1.0 - trem / 2 + (trem / 2) * np.cos(
+                    2 * np.pi * TREMOLO_HZ * t))
             # short fade to avoid clicks (keeps the spectrum clean)
             ramp = min(32, n_char // 4)
             env = np.ones(n_char)
@@ -114,10 +185,20 @@ def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
     return audio.astype(np.float32)
 
 
+def add_noise_snr(audio: np.ndarray, snr_db: float, seed: int = 0) -> np.ndarray:
+    """Additive white noise at a target SNR (dB) relative to signal power."""
+    rng = np.random.default_rng(seed)
+    p_sig = float(np.mean(audio.astype(np.float64) ** 2)) + 1e-12
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    return (audio + np.sqrt(p_noise) *
+            rng.standard_normal(len(audio))).astype(np.float32)
+
+
 def sample_text(rng: np.random.Generator, min_words: int = 1,
-                max_words: int = 3) -> str:
+                max_words: int = 3,
+                vocab: Tuple[str, ...] = WORDS) -> str:
     n = int(rng.integers(min_words, max_words + 1))
-    return " ".join(WORDS[int(i)] for i in rng.integers(0, len(WORDS), n))
+    return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n))
 
 
 def sample_batch(
@@ -128,6 +209,13 @@ def sample_batch(
     max_seconds: float = 2.0,
     max_tokens: int = 32,
     augment: bool = False,
+    vocab: Tuple[str, ...] = WORDS,
+    min_words: int = 1,
+    max_words: int = 3,
+    n_speakers: int = 1,
+    rate_range: Tuple[float, float] = (1.0, 1.0),
+    snr_db_range: Optional[Tuple[float, float]] = None,
+    emotions: Tuple[str, ...] = ("neutral",),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Batch for ASR training: (audio[B, T], tokens[B, L], mask[B, L], texts).
 
@@ -136,16 +224,28 @@ def sample_batch(
     adds random leading silence (the VAD pre-roll a serving phrase carries)
     and ±30% gain so the model matches the live segmenter's output
     distribution.
-    """
+
+    The hard-corpus knobs (``vocab=HARD_WORDS``, ``n_speakers``,
+    ``rate_range``, ``snr_db_range``, ``emotions``) sample per-utterance
+    speaker timbres, speaking rates, additive-noise SNRs and emotion
+    renderings — the speech-like difficulty axis the default tone task
+    lacks (VERDICT r2 §missing-1)."""
     t_max = int(max_seconds * sample_rate)
     audio = np.zeros((batch, t_max), dtype=np.float32)
     tokens = np.full((batch, max_tokens), tokenizer.eot, dtype=np.int32)
     mask = np.zeros((batch, max_tokens), dtype=np.float32)
     texts: List[str] = []
     for i in range(batch):
-        text = sample_text(rng)
+        text = sample_text(rng, min_words, max_words, vocab=vocab)
         texts.append(text)
-        wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)))
+        rate = float(rng.uniform(*rate_range))
+        spk = int(rng.integers(0, n_speakers))
+        emo = emotions[int(rng.integers(0, len(emotions)))]
+        wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)),
+                          speaker=spk, emotion=emo, rate=rate)
+        if snr_db_range is not None:
+            snr = float(rng.uniform(*snr_db_range))
+            wav = add_noise_snr(wav, snr, seed=int(rng.integers(1 << 30)))
         offset = 0
         if augment:
             offset = int(rng.integers(0, int(0.5 * sample_rate)))

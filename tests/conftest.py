@@ -28,6 +28,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running sanity tests (still run by default)")
+
+
 @pytest.fixture(autouse=True)
 def _reset_engine_state():
     """Reset global control state and queues between tests
