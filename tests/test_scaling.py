@@ -29,6 +29,72 @@ def test_collective_bytes_parses_ops_and_sizes():
     assert "add" not in got
 
 
+def test_collective_bytes_tuple_forms():
+    """Tuple-shaped collectives: a sync multi-operand all-reduce returns
+    one reduced buffer PER operand (all count); an async -start tuple is
+    (source, destination) (destination counts once). The round-2 artifact
+    under-counted the former as its last element only (VERDICT r2)."""
+    hlo = """
+ENTRY main {
+  %ar = (s32[1]{0}, s32[1]{0}, s32[1]{0}, s32[1]{0}) all-reduce(%a, %b, %c, %d)
+  %ags = (f32[128]{0}, f32[1024]{0}) all-gather-start(%x), dimensions={0}
+  %agd = f32[1024]{0} all-gather-done(%ags)
+}
+"""
+    got = collective_bytes(hlo)
+    assert got["all-reduce"] == 4 * 4          # all four s32[1] buffers
+    assert got["all-gather"] == 1024 * 4       # done counted, start skipped
+
+
+def test_collective_bytes_golden_compiled_programs():
+    """Hand-computed collective sizes for known shard_map programs must
+    match the HLO parse exactly (the audit VERDICT r2 asked for)."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+
+    def parsed(fn, *args, specs_in, spec_out):
+        try:
+            sm = jax.shard_map(fn, mesh=mesh, in_specs=specs_in,
+                               out_specs=spec_out, check_vma=False)
+        except TypeError:  # older spelling of the replication check
+            sm = jax.shard_map(fn, mesh=mesh, in_specs=specs_in,
+                               out_specs=spec_out, check_rep=False)
+        compiled = jax.jit(sm).lower(*args).compile()
+        return collective_bytes(compiled.as_text())
+
+    # psum: per-device all-reduce result = the full f32[1024] buffer
+    x = jnp.arange(8 * 1024, dtype=jnp.float32).reshape(8, 1024)
+    got = parsed(lambda a: jax.lax.psum(a, "x"), x,
+                 specs_in=(P("x"),), spec_out=P())
+    assert got == {"all-reduce": 1024 * 4}, got
+
+    # all_gather: each device materializes the gathered f32[8,256]
+    y = jnp.ones((8, 256), jnp.float32)
+    got = parsed(lambda a: jax.lax.all_gather(a.squeeze(0), "x"), y,
+                 specs_in=(P("x"),), spec_out=P())
+    assert got == {"all-gather": 8 * 256 * 4}, got
+
+    # ppermute: one f32[1,512] buffer moves per device (f32, not bf16 —
+    # the CPU backend upcasts bf16 permutes, muddying byte arithmetic)
+    z = jnp.ones((8, 512), jnp.float32)
+    perm = [(i, (i + 1) % 8) for i in range(8)]
+    got = parsed(lambda a: jax.lax.ppermute(a, "x", perm), z,
+                 specs_in=(P("x"),), spec_out=P("x"))
+    assert got == {"collective-permute": 512 * 4}, got
+
+    # all_to_all: result is the resharded f32[8,64] block per device
+    w = jnp.ones((8, 8, 64), jnp.float32)
+    got = parsed(
+        lambda a: jax.lax.all_to_all(a, "x", split_axis=1, concat_axis=0),
+        w, specs_in=(P("x"),), spec_out=P("x"))
+    assert got == {"all-to-all": 8 * 64 * 4}, got
+
+
 def test_modeled_weak_scaling_meets_target():
     """The fused encode program (shard_map'd FFT frontend + GSPMD model)
     must model >= 80% weak-scaling efficiency — the BASELINE target that
