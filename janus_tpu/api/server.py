@@ -66,6 +66,9 @@ class JanusServer:
             )
 
         self.http.route("GET", "/", dashboard)
+        # second page of the reference frontend (frontend/app/telemetry/):
+        # same single-file app, boots on the telemetry tab
+        self.http.route("GET", "/telemetry", dashboard)
 
         def transcribe_file(path: str) -> str:
             # Sniffs WAV / WebM-Opus / Ogg-Opus — the formats the reference
