@@ -86,30 +86,32 @@ def _hard_corpus() -> dict:
 HARD_CORPUS = _hard_corpus()
 
 
-def build_asr_pool(rng, pool_n: int, tok, cfg: ASRConfig,
-                   max_seconds: float, corpus: dict):
-    """Pre-rendered utterance pool (audio16[N, T], tokens[N, L],
-    mask[N, L]): per-step host rendering would serialize with remote
-    dispatch (CLAUDE.md), so the train loop only indexes numpy arrays.
-    Audio goes through the serving path's 48 kHz capture + anti-aliased
-    decimation."""
+def _decimate_pool(audio: np.ndarray) -> np.ndarray:
+    """Serving-path frontend for a rendered pool: capture at 48 kHz,
+    anti-aliased decimation back to 16 kHz (the SemanticEncoder's own
+    filtering). Chunked so the 48 kHz intermediate stays small."""
     import jax
     import jax.numpy as jnp
 
     from janus_tpu.ops.resample import decimate_48k_to_16k, resample_poly
 
+    out16 = np.zeros_like(audio)
+    dec = jax.jit(lambda a: decimate_48k_to_16k(resample_poly(a, up=3, down=1)))
+    for i in range(0, len(audio), 64):
+        out16[i : i + 64] = np.asarray(dec(jnp.asarray(audio[i : i + 64])))
+    return out16
+
+
+def build_asr_pool(rng, pool_n: int, tok, cfg: ASRConfig,
+                   max_seconds: float, corpus: dict):
+    """Pre-rendered utterance pool (audio16[N, T], tokens[N, L],
+    mask[N, L]): per-step host rendering would serialize with remote
+    dispatch (CLAUDE.md), so the train loop only indexes numpy arrays."""
     audio, tokens, mask, texts = sample_batch(
         rng, pool_n, tok, max_seconds=max_seconds,
         max_tokens=cfg.max_target_positions, augment=True, **corpus,
     )
-    # match the serving path: capture at 48 kHz, anti-aliased decimation
-    # back to 16 kHz (the SemanticEncoder's own frontend filtering).
-    # Chunked so the 48 kHz intermediate stays small.
-    out16 = np.zeros_like(audio)
-    dec = jax.jit(lambda a: decimate_48k_to_16k(resample_poly(a, up=3, down=1)))
-    for i in range(0, pool_n, 64):
-        out16[i : i + 64] = np.asarray(dec(jnp.asarray(audio[i : i + 64])))
-    return out16, tokens, mask, texts
+    return _decimate_pool(audio), tokens, mask, texts
 
 
 def train_demo_asr(
@@ -123,10 +125,19 @@ def train_demo_asr(
     corpus: Optional[dict] = None,
     max_seconds: float = 2.0,
     pool_n: Optional[int] = None,
+    pool_refresh_every: Optional[int] = None,
 ):
     """Returns (params, cfg, tokenizer, history). ``corpus`` forwards
     hard-corpus knobs to :func:`sample_batch` (vocab / speakers / rates /
-    noise / emotions); default is the legacy single-voice neutral task."""
+    noise / emotions); default is the legacy single-voice neutral task.
+
+    ``pool_refresh_every`` re-renders the utterance pool every N steps in
+    a BACKGROUND thread (host rendering overlaps device steps on the
+    second core; only the ~seconds of decimation dispatch lands on the
+    loop). A fixed pool of a few thousand utterances memorizes the hard
+    corpus (train acc 1.0, fresh-utterance WER 0.35 — the round-3
+    finding); refreshing makes the corpus effectively unlimited.
+    ``learning_rate`` may be an optax schedule."""
     import jax.numpy as jnp
 
     from janus_tpu.models.asr import prepare_mel
@@ -151,10 +162,34 @@ def train_demo_asr(
     pool_audio, pool_tokens, pool_mask, _ = build_asr_pool(
         rng, pool_n, tok, cfg, max_seconds, corpus or {})
 
+    import threading
+
+    fresh: dict = {}
+
+    def render_next(render_seed: int) -> threading.Thread:
+        def work():
+            r = np.random.default_rng(render_seed)
+            fresh["batch"] = sample_batch(
+                r, pool_n, tok, max_seconds=max_seconds,
+                max_tokens=cfg.max_target_positions, augment=True,
+                **(corpus or {}))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        return t
+
+    renderer = (render_next(seed + 1) if pool_refresh_every else None)
+
     history = []  # device scalars; float() only at log points so the
     # host never blocks per step (async dispatch pipelines the tunnel RTT)
     t0 = time.time()
     for step in range(steps):
+        if (pool_refresh_every and step and step % pool_refresh_every == 0
+                and renderer is not None):
+            renderer.join()
+            audio48, pool_tokens, pool_mask, _texts = fresh.pop("batch")
+            pool_audio = _decimate_pool(audio48)
+            renderer = render_next(seed + 1 + step)
         idx = rng.choice(pool_n, size=batch, replace=False)
         state, metrics = trainer.train_step(
             state, pool_audio[idx], pool_tokens[idx], pool_mask[idx])

@@ -158,7 +158,7 @@ def main() -> None:
     ap.add_argument("--tts-steps", type=int, default=3000)
     ap.add_argument("--voc-steps", type=int, default=8000)
     ap.add_argument("--asr-steps", type=int, default=1500)
-    ap.add_argument("--hard-steps", type=int, default=6000)
+    ap.add_argument("--hard-steps", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
     args = ap.parse_args()
@@ -181,11 +181,20 @@ def main() -> None:
 
     if "asr_hard" in what:
         # HARD corpus: 256-word vocabulary, 16 speakers, 0.8-1.25x rates,
-        # 8-30 dB SNR noise, up to 5-word utterances (VERDICT r2 item 2a)
+        # 8-30 dB SNR noise, up to 5-word utterances (VERDICT r2 item 2a).
+        # The pool refreshes every 400 steps (a FIXED 2048-utterance pool
+        # memorizes: train acc 1.0 but fresh WER 0.35); cosine decay for
+        # the long run.
+        import optax
+
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=1e-3,
+            warmup_steps=min(300, args.hard_steps // 10),
+            decay_steps=args.hard_steps, end_value=5e-5)
         params, cfg, tok, hist = demo_mod.train_demo_asr(
             args.hard_steps, args.batch, cfg=demo_mod.hard_asr_config(),
             corpus=demo_mod.HARD_CORPUS, max_seconds=3.84, pool_n=2048,
-            learning_rate=7e-4)
+            pool_refresh_every=400, learning_rate=schedule)
         save_npz(f"{args.out_dir}/demo_asr_hard.npz", params)
         for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
                            ("snr5", (5.0, 5.0))):
