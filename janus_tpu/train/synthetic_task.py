@@ -264,7 +264,15 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
                     speakers: Optional[List[int]] = None,
                     emotions: Optional[List[str]] = None,
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """TTS training targets: (mel_groups[B, S, r*n_mels], mask[B, S])."""
+    """TTS training targets: (mel_groups[B, S, r*n_mels], mask[B, S]).
+
+    All renders are zero-padded to one bucket and featurized as chunked
+    BATCHES: per-utterance mel calls would compile one program per unique
+    waveform length, and with rate-scaled emotion renderings nearly every
+    utterance has a unique length (hundreds of remote-tunnel compiles —
+    the round-3 stall). Masks use each render's own frame count, so the
+    padding never leaks into the loss."""
+    import jax
     import jax.numpy as jnp
 
     from janus_tpu.ops.mel import log_mel_spectrogram
@@ -274,17 +282,29 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
         speakers = [0] * b
     if emotions is None:
         emotions = ["neutral"] * b
+    wavs = [
+        render_text(t, sample_rate, seed=0, speaker=speakers[i],
+                    emotion=emotions[i])  # deterministic target
+        for i, t in enumerate(texts)
+    ]
+    # one bucket: enough for max_groups everywhere (frames = len // hop)
+    t_max = max(max(len(w) for w in wavs),
+                (max_groups * reduction + 1) * hop)
+    t_max = -(-t_max // hop) * hop
     out = np.zeros((b, max_groups, reduction * n_mels), dtype=np.float32)
     mask = np.zeros((b, max_groups), dtype=np.float32)
-    for i, text in enumerate(texts):
-        wav = render_text(text, sample_rate, seed=0, speaker=speakers[i],
-                          emotion=emotions[i])  # deterministic target
-        mel = np.asarray(log_mel_spectrogram(
-            jnp.asarray(wav), sample_rate, n_fft, hop, n_mels
-        ))
-        n_frames = (mel.shape[0] // reduction) * reduction
-        groups = mel[:n_frames].reshape(-1, reduction * n_mels)
-        s = min(len(groups), max_groups)
-        out[i, :s] = groups[:s]
-        mask[i, :s] = 1.0
+    mel_fn = jax.jit(lambda a: log_mel_spectrogram(
+        a, sample_rate, n_fft, hop, n_mels))
+    for lo in range(0, b, 64):
+        chunk = wavs[lo : lo + 64]
+        padded = np.zeros((len(chunk), t_max), dtype=np.float32)
+        for j, w in enumerate(chunk):
+            padded[j, : len(w)] = w
+        mels = np.asarray(mel_fn(jnp.asarray(padded)))  # [c, T//hop, mels]
+        for j, w in enumerate(chunk):
+            n_frames = ((len(w) // hop) // reduction) * reduction
+            groups = mels[j, :n_frames].reshape(-1, reduction * n_mels)
+            s = min(len(groups), max_groups)
+            out[lo + j, :s] = groups[:s]
+            mask[lo + j, :s] = 1.0
     return out, mask
