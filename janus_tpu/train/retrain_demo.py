@@ -89,6 +89,9 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
             seed=int(rng.integers(1 << 30)),
             speaker=int(rng.integers(0, 4)),
             emotion=EMOTIONS[int(rng.integers(0, len(EMOTIONS)))],
+            # tone onsets must land on the analysis grid or target phase
+            # is invisible in mel (see render_text docstring)
+            hop_quantize=cfg.hop_length,
         )
         if len(w) < t_samples:
             w = np.pad(w, (0, t_samples - len(w)))

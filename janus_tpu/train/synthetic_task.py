@@ -134,14 +134,22 @@ TREMOLO_HZ = 5.0
 def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
                 noise: float = 0.002, seed: int = 0,
                 speaker: int = 0, emotion: str = "neutral",
-                rate: float = 1.0) -> np.ndarray:
+                rate: float = 1.0, hop_quantize: int = 0) -> np.ndarray:
     """Deterministic waveform for a text string.
 
     ``speaker`` selects a harmonic timbre profile (voice identity, any
     index via :func:`speaker_timbre`); ``emotion`` modulates amplitude /
     rate / vibrato / tremolo per :data:`EMOTION_RENDERING` while leaving
     the character F0 ladder untouched; ``rate`` is an additional
-    speaking-rate multiplier (>1 = faster) for corpus difficulty."""
+    speaking-rate multiplier (>1 = faster) for corpus difficulty.
+
+    ``hop_quantize`` (samples) rounds char/gap durations to that grid.
+    The DECODE-stack corpora (TTS targets, vocoder pool) must pass their
+    mel hop here: the vocoder learns phase only because every tone onset
+    lands on the analysis grid — rate-scaled durations off the grid shift
+    target phase by sub-hop offsets that are invisible in mel, capping
+    copy-synthesis SNR near 13 dB (round-3 regression). ASR corpora keep
+    the default 0 (continuous rates are part of their difficulty)."""
     rng = np.random.default_rng(seed)
     h1, h2, h3 = speaker_timbre(speaker)
     amp_scale, rate_scale, vib, trem = EMOTION_RENDERING.get(
@@ -151,6 +159,9 @@ def render_text(text: str, sample_rate: int = 16_000, amp: float = 0.3,
     segs: List[np.ndarray] = []
     n_char = max(16, int(CHAR_SECONDS / total_rate * sample_rate))
     n_gap = max(8, int(WORD_GAP_SECONDS / total_rate * sample_rate))
+    if hop_quantize > 0:
+        n_char = max(hop_quantize, round(n_char / hop_quantize) * hop_quantize)
+        n_gap = max(hop_quantize, round(n_gap / hop_quantize) * hop_quantize)
     for w, word in enumerate(text.split()):
         if w > 0:
             segs.append(np.zeros(n_gap, dtype=np.float32))
@@ -216,6 +227,7 @@ def sample_batch(
     rate_range: Tuple[float, float] = (1.0, 1.0),
     snr_db_range: Optional[Tuple[float, float]] = None,
     emotions: Tuple[str, ...] = ("neutral",),
+    hop_quantize: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Batch for ASR training: (audio[B, T], tokens[B, L], mask[B, L], texts).
 
@@ -242,7 +254,8 @@ def sample_batch(
         spk = int(rng.integers(0, n_speakers))
         emo = emotions[int(rng.integers(0, len(emotions)))]
         wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)),
-                          speaker=spk, emotion=emo, rate=rate)
+                          speaker=spk, emotion=emo, rate=rate,
+                          hop_quantize=hop_quantize)
         if snr_db_range is not None:
             snr = float(rng.uniform(*snr_db_range))
             wav = add_noise_snr(wav, snr, seed=int(rng.integers(1 << 30)))
@@ -284,7 +297,8 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
         emotions = ["neutral"] * b
     wavs = [
         render_text(t, sample_rate, seed=0, speaker=speakers[i],
-                    emotion=emotions[i])  # deterministic target
+                    emotion=emotions[i],
+                    hop_quantize=hop)  # deterministic, phase on the grid
         for i, t in enumerate(texts)
     ]
     # one bucket: enough for max_groups everywhere (frames = len // hop)

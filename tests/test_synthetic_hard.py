@@ -83,6 +83,21 @@ def test_emotion_rate_and_amplitude_scale():
     assert rms(w_whisper) < 0.5 * rms(w_neut)
 
 
+def test_hop_quantize_puts_onsets_on_grid():
+    """With hop_quantize, every char/gap duration is a hop multiple, so
+    every tone onset lands on the mel analysis grid — the phase-
+    determinism invariant the vocoder recipe depends on (render_text
+    docstring). Neutral rate-1.0 renders are unchanged (0.06 s = 6 hops)."""
+    hop = 160
+    for emo in ("neutral", "excited", "panicked", "sad", "whispering"):
+        w = render_text("kilo lima", 16_000, seed=3, emotion=emo,
+                        hop_quantize=hop)
+        assert len(w) % hop == 0, emo
+    a = render_text("alpha bravo", 16_000, seed=5)
+    b = render_text("alpha bravo", 16_000, seed=5, hop_quantize=hop)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_add_noise_snr_calibrated():
     w = render_text("golf hotel", 16_000, seed=9)
     for target in (0.0, 10.0, 20.0):
