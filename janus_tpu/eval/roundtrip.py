@@ -373,6 +373,7 @@ def evaluate_hard_asr(params, cfg, n_utterances: int = 32,
     for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
                        ("snr5", (5.0, 5.0)), ("snr0", (0.0, 0.0))):
         corpus = dict(HARD_CORPUS)
+        corpus["clean_prob"] = 0.0  # pin each row's noise level exactly
         if snr is None:
             corpus.pop("snr_db_range", None)
         else:

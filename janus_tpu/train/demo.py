@@ -79,10 +79,12 @@ def _hard_corpus() -> dict:
         vocab=HARD_WORDS,
         n_speakers=16,
         rate_range=(0.8, 1.25),
-        # up to 40 dB: train-time noise is ALWAYS on, so the noise-free
-        # eval row is otherwise out-of-distribution (round-3 finding:
-        # WER[snr10] 0.068 < WER[clean] 0.086 with an (8, 30) range)
+        # up to 40 dB, plus a 25% no-noise fraction: train-time noise
+        # otherwise makes the noise-free eval row out-of-distribution
+        # (round-3 finding: WER[snr10] 0.068 < WER[clean] 0.086 with an
+        # always-noisy (8, 30) range)
         snr_db_range=(8.0, 40.0),
+        clean_prob=0.25,
         min_words=1,
         max_words=5,
         emotions=("neutral", "excited", "joyful", "whispering", "shouting",

@@ -160,7 +160,7 @@ def main() -> None:
                     help="comma list: tts, vocoder, asr, asr_hard")
     ap.add_argument("--tts-steps", type=int, default=3000)
     ap.add_argument("--voc-steps", type=int, default=8000)
-    ap.add_argument("--asr-steps", type=int, default=1500)
+    ap.add_argument("--asr-steps", type=int, default=4000)
     ap.add_argument("--hard-steps", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
@@ -174,9 +174,19 @@ def main() -> None:
     if "asr" in what:
         # STANDARD_CORPUS: the ASR must transcribe every emotion rendering
         # the demo TTS can produce (rate/tremolo/vibrato/amplitude), or
-        # round-trip WER dies on emotion-tagged packets (round-2 regression)
+        # round-trip WER dies on emotion-tagged packets (round-2 regression).
+        # Pool refresh matters here too: a fixed 512-utterance pool at 1500
+        # steps memorizes — fresh-utterance WER ~0.04 with trailing-syllable
+        # duplications ('papa' -> 'papapa') on repeated-tone words.
+        import optax
+
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=1e-3,
+            warmup_steps=min(200, args.asr_steps // 10),
+            decay_steps=args.asr_steps, end_value=5e-5)
         params, cfg, tok, hist = demo_mod.train_demo_asr(
-            args.asr_steps, args.batch, corpus=demo_mod.STANDARD_CORPUS)
+            args.asr_steps, args.batch, corpus=demo_mod.STANDARD_CORPUS,
+            pool_n=1024, pool_refresh_every=300, learning_rate=schedule)
         wer, _ = demo_mod.evaluate_asr(params, cfg, tok,
                                        corpus=demo_mod.STANDARD_CORPUS)
         logger.info("asr final loss=%.4f WER=%.3f", hist[-1], wer)
@@ -202,6 +212,7 @@ def main() -> None:
         for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
                            ("snr5", (5.0, 5.0))):
             corpus = dict(demo_mod.HARD_CORPUS)
+            corpus["clean_prob"] = 0.0
             corpus["snr_db_range"] = snr
             if snr is None:
                 corpus.pop("snr_db_range")

@@ -226,6 +226,7 @@ def sample_batch(
     n_speakers: int = 1,
     rate_range: Tuple[float, float] = (1.0, 1.0),
     snr_db_range: Optional[Tuple[float, float]] = None,
+    clean_prob: float = 0.0,
     emotions: Tuple[str, ...] = ("neutral",),
     hop_quantize: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
@@ -256,7 +257,10 @@ def sample_batch(
         wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)),
                           speaker=spk, emotion=emo, rate=rate,
                           hop_quantize=hop_quantize)
-        if snr_db_range is not None:
+        if snr_db_range is not None and rng.random() >= clean_prob:
+            # clean_prob: fraction of utterances rendered with NO added
+            # noise, so the noise-free eval row stays in-distribution
+            # even though train-time noise is otherwise always on
             snr = float(rng.uniform(*snr_db_range))
             wav = add_noise_snr(wav, snr, seed=int(rng.integers(1 << 30)))
         offset = 0

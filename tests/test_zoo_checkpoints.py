@@ -111,12 +111,14 @@ def test_hard_asr_wer_floors():
 
     clean = dict(HARD_CORPUS)
     clean.pop("snr_db_range", None)
+    clean["clean_prob"] = 0.0
     wer_clean, pairs = evaluate_asr(params, cfg, tok, n_utterances=24,
                                     seed=321, corpus=clean, max_seconds=3.84)
     assert wer_clean <= 0.05, (wer_clean, pairs[:4])
 
     noisy = dict(HARD_CORPUS)
     noisy["snr_db_range"] = (10.0, 10.0)
+    noisy["clean_prob"] = 0.0
     wer_10, pairs = evaluate_asr(params, cfg, tok, n_utterances=24,
                                  seed=321, corpus=noisy, max_seconds=3.84)
     assert wer_10 <= 0.15, (wer_10, pairs[:4])
