@@ -194,7 +194,8 @@ def main() -> None:
 
     if "asr_hard" in what:
         # HARD corpus: 256-word vocabulary, 16 speakers, 0.8-1.25x rates,
-        # 8-30 dB SNR noise, up to 5-word utterances (VERDICT r2 item 2a).
+        # 8-40 dB SNR noise with a 25% clean fraction, up to 5-word
+        # utterances (VERDICT r2 item 2a).
         # The pool refreshes every 400 steps (a FIXED 2048-utterance pool
         # memorizes: train acc 1.0 but fresh WER 0.35); cosine decay for
         # the long run.

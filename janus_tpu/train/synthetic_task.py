@@ -257,12 +257,19 @@ def sample_batch(
         wav = render_text(text, sample_rate, seed=int(rng.integers(1 << 30)),
                           speaker=spk, emotion=emo, rate=rate,
                           hop_quantize=hop_quantize)
-        if snr_db_range is not None and rng.random() >= clean_prob:
-            # clean_prob: fraction of utterances rendered with NO added
-            # noise, so the noise-free eval row stays in-distribution
-            # even though train-time noise is otherwise always on
-            snr = float(rng.uniform(*snr_db_range))
-            wav = add_noise_snr(wav, snr, seed=int(rng.integers(1 << 30)))
+        if snr_db_range is not None:
+            # One draw from the main stream regardless of the clean/noisy
+            # outcome; the decision + SNR + noise seed come from a CHILD
+            # generator so the render-seed stream is identical for every
+            # (clean_prob, outcome) combination — seeded noisy-row WERs stay
+            # comparable across recipes (advisor r3 finding).
+            nrng = np.random.default_rng(int(rng.integers(1 << 30)))
+            if nrng.random() >= clean_prob:
+                # clean_prob: fraction of utterances rendered with NO added
+                # noise, so the noise-free eval row stays in-distribution
+                # even though train-time noise is otherwise always on
+                snr = float(nrng.uniform(*snr_db_range))
+                wav = add_noise_snr(wav, snr, seed=int(nrng.integers(1 << 30)))
         offset = 0
         if augment:
             offset = int(rng.integers(0, int(0.5 * sample_rate)))
