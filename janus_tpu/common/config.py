@@ -76,6 +76,20 @@ class ProsodyConfig:
     yin_tolerance: float = 0.8
     fmin_hz: float = 40.0
     fmax_hz: float = 1000.0
+    # Serving runs pitch tracking on the anti-aliased 16 kHz stream the mel
+    # frontend already produces: the bounded search (fmax 1 kHz) needs no
+    # bandwidth above 8 kHz, and signal/window/lag-grid all shrink 3x
+    # (~27x less work than 48 kHz tracking — it was 1.4x the cost of the
+    # flagship 635M encoder forward, BENCH_r03 flagship_stage_ms). The 16 kHz
+    # geometry is the 48 kHz window/hop scaled to the same durations
+    # (85.0 ms window vs 85.3, 10.63 ms hop vs 10.67). Set yin_rate=0 to
+    # track at the native 48 kHz capture rate (exact aubio-geometry path,
+    # still available for parity study); docs/PARITY.md documents the
+    # deviation. f0 agreement between the two paths is asserted in
+    # tests/test_ops_yin.py::test_serving_16k_geometry_matches_48k.
+    yin_rate: int = 16_000
+    yin_window_16k: int = 1360
+    yin_hop_16k: int = 170
     energy_quiet: float = 0.05          # rms <  -> 'Quiet'
     energy_loud: float = 0.15           # rms >= -> 'Loud'
     pitch_deep_hz: float = 120.0        # mean f0 <  -> 'Deep'
@@ -122,6 +136,14 @@ class ASRConfig:
     # compile one lax.scan block body instead of L unrolled layers; required
     # for flagship-deep models (32-layer unrolled HLO overwhelms compile)
     scan_layers: bool = False
+    # serving decode loop: store per-layer cross-attention K/V int8 with
+    # per-position scales — the loop re-reads them every token, so this
+    # halves the dominant non-weight HBM stream at flagship scale.
+    # Approximation bounds are tested in tests/test_asr.py; end-to-end WER
+    # through the serving encoder is gated on the committed checkpoints in
+    # tests/test_zoo_checkpoints.py. The torch-parity tests call
+    # greedy_decode directly (flag off) and are unaffected.
+    decode_cross_kv_int8: bool = True
 
     @classmethod
     def tiny(cls) -> "ASRConfig":

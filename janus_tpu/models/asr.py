@@ -164,11 +164,17 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(sp_mesh, P(batch_axis, "seq", None))
         )
-    if scan_layers and sp_mesh is None and len(enc["blocks"]) > 1:
+    blocks_prestacked = isinstance(enc["blocks"], dict)
+    if (scan_layers and sp_mesh is None
+            and (blocks_prestacked or len(enc["blocks"]) > 1)):
         # lax.scan over stacked block params: one compiled block body
         # instead of L unrolled copies — essential for large-v3's 32
-        # layers, where the unrolled HLO dominates compile time
-        stacked = stack_layer_params(enc["blocks"])
+        # layers, where the unrolled HLO dominates compile time. A
+        # host-prestacked tree (dict of [L, ...] leaves) is consumed
+        # as-is: re-stacking inside the program would copy the weights
+        # on every call.
+        stacked = (enc["blocks"] if blocks_prestacked
+                   else stack_layer_params(enc["blocks"]))
 
         def body(h, blk):
             h = h + _attention(blk["attn"], layer_norm(h, **blk["attn_ln"]),
@@ -224,11 +230,63 @@ def _stack_blocks(blocks: List[Params]) -> Params:
     return stack_layer_params(blocks)
 
 
+def _fuse_qkv(attn: Params) -> Params:
+    """Self-attention q/k/v projection triple → one ``[d, 3d]`` matmul
+    (``qkv``), zero-filling the bias-less K slot. Works on plain arrays
+    and on (Dyn)QuantizedWeight pairs, per-layer or layer-stacked: the
+    concatenation is along the output-channel axis, which both the bias
+    and the per-output-channel quantization scales share. Cuts the decode
+    loop's matmul count (3 small weight fetches → 1), numerically the
+    same columns."""
+    from janus_tpu.ops.quant import DynQuantizedWeight, QuantizedWeight
+
+    q, k, v = attn["q"], attn["k"], attn["v"]
+    wq, wk, wv = q["w"], k["w"], v["w"]
+    if isinstance(wq, (QuantizedWeight, DynQuantizedWeight)):
+        w = type(wq)(
+            jnp.concatenate([wq.q, wk.q, wv.q], axis=-1),
+            jnp.concatenate([wq.scale, wk.scale, wv.scale], axis=-1),
+        )
+    else:
+        w = jnp.concatenate([wq, wk, wv], axis=-1)
+    b = jnp.concatenate(
+        [q["b"], k.get("b", jnp.zeros_like(q["b"])), v["b"]], axis=-1)
+    return {"qkv": {"w": w, "b": b}, "out": attn["out"]}
+
+
+def prepare_decode_params(params: Params, scan_layers: bool = False,
+                          fuse_qkv: bool = True) -> Params:
+    """Decode-loop layout transform (idempotent): optionally stack the
+    decoder blocks for ``lax.scan`` and fuse each block's self-attention
+    q/k/v into one matmul.
+
+    Call it ONCE on the host (as ``runtime.codec.SemanticEncoder`` does at
+    init) so neither the layer stack nor the fused weights are rebuilt —
+    a full decoder-weight copy — on every dispatched program call;
+    ``greedy_decode`` also applies it defensively at trace time, where the
+    idempotence makes it free for pre-prepared trees."""
+    dec = params["decoder"]
+    blocks = dec["blocks"]
+
+    def fuse_block(b: Params) -> Params:
+        if fuse_qkv and "qkv" not in b["attn"]:
+            return {**b, "attn": _fuse_qkv(b["attn"])}
+        return b
+
+    if isinstance(blocks, dict):
+        blocks = fuse_block(blocks)
+    elif scan_layers:
+        blocks = fuse_block(_stack_blocks(blocks))
+    else:
+        blocks = [fuse_block(b) for b in blocks]
+    return {**params, "decoder": {**dec, "blocks": blocks}}
+
+
 def prestack_decoder(params: Params) -> Params:
     """Return ``params`` with ``decoder/blocks`` stacked along a leading
-    layer axis (idempotent). Called once at the top of a scan-layers decode
-    program so the stack is emitted outside the token while_loop instead of
-    relying on XLA to hoist a full weight copy out of every step."""
+    layer axis (idempotent, no QKV fusion) — kept for callers that need
+    the stacked-but-unfused layout; the decode loop uses
+    :func:`prepare_decode_params`."""
     dec = params["decoder"]
     if isinstance(dec["blocks"], dict):
         return params
@@ -246,7 +304,15 @@ def _precompute_cross_kv(params: Params, cfg: ASRConfig, enc: jax.Array) -> Tupl
 
 def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
                       max_len: Optional[int] = None, dtype=jnp.float32,
-                      scan_layers: bool = False) -> DecodeState:
+                      scan_layers: bool = False,
+                      cross_kv_int8: bool = False) -> DecodeState:
+    """``cross_kv_int8`` stores the per-layer cross-attention K/V int8 with
+    per-position scales (:class:`janus_tpu.ops.quant.QuantKV`): the decode
+    loop re-reads them every token, so this halves the dominant non-weight
+    HBM stream at flagship scale (VERDICT r3 task 2; reference analog:
+    CTranslate2 int8 decode, backend/services/transcriber.py:26)."""
+    from janus_tpu.ops.quant import quantize_kv
+
     batch_shape = enc.shape[:-2]
     if max_len is None:
         max_len = cfg.max_target_positions
@@ -268,12 +334,17 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
             return k, v
 
         ck, cv = jax.vmap(per_layer_kv)(cross)
+        if cross_kv_int8:
+            ck, cv = quantize_kv(ck), quantize_kv(cv)
         return DecodeState(self_caches=cache, cross_k=ck, cross_v=cv)
     caches = tuple(
         KVCache.create(batch_shape, cfg.num_heads, max_len, head_dim, dtype=dtype)
         for _ in range(cfg.decoder_layers)
     )
     ck, cv = _precompute_cross_kv(params, cfg, enc)
+    if cross_kv_int8:
+        ck = tuple(quantize_kv(k) for k in ck)
+        cv = tuple(quantize_kv(v) for v in cv)
     return DecodeState(self_caches=caches, cross_k=ck, cross_v=cv)
 
 
@@ -282,12 +353,19 @@ def _decoder_layer(
     cross_k: jax.Array, cross_v: jax.Array, t_new: int,
 ) -> Tuple[jax.Array, KVCache]:
     """One decoder block: cached self-attn → cross-attn → MLP."""
-    # self-attention with cache append
+    from janus_tpu.ops.quant import dequant_kv
+
+    # self-attention with cache append (fused qkv when prepared —
+    # see prepare_decode_params)
     h = layer_norm(x, **blk["attn_ln"])
     p = blk["attn"]
-    q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
-    k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
-    v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
+    if "qkv" in p:
+        q, k, v = jnp.split(linear(h, p["qkv"]["w"], p["qkv"]["b"]), 3, axis=-1)
+        q, k, v = (split_heads(t, cfg.num_heads) for t in (q, k, v))
+    else:
+        q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
+        k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
+        v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
     cache = cache.append_lockstep(k, v)
     mask = cache.valid_mask(t_new, causal=True)
     x = x + linear(
@@ -295,12 +373,15 @@ def _decoder_layer(
         p["out"]["w"], p["out"]["b"],
     )
 
-    # cross-attention over the (static) encoder sequence
+    # cross-attention over the (static) encoder sequence; int8 K/V
+    # dequantize at the matmul operand (dequant_kv is identity on
+    # plain arrays)
     h = layer_norm(x, **blk["cross_ln"])
     pc = blk["cross"]
     qc = split_heads(linear(h, pc["q"]["w"], pc["q"]["b"]), cfg.num_heads)
     x = x + linear(
-        merge_heads(attend(qc, cross_k, cross_v)),
+        merge_heads(attend(qc, dequant_kv(cross_k, x.dtype),
+                           dequant_kv(cross_v, x.dtype))),
         pc["out"]["w"], pc["out"]["b"],
     )
 
@@ -384,6 +465,8 @@ def greedy_decode(
     max_new: Optional[int] = None,
     cache_dtype=jnp.float32,
     scan_layers: bool = False,
+    cross_kv_int8: bool = False,
+    fuse_qkv: bool = False,
 ) -> jax.Array:
     """Batched greedy search.
 
@@ -398,11 +481,14 @@ def greedy_decode(
     if max_new is None:
         max_new = cfg.max_decode_tokens
     cache_len = prompt.shape[-1] + max_new
-    if scan_layers:
-        # stack decoder weights ONCE, outside the token while_loop
-        params = prestack_decoder(params)
+    if scan_layers or fuse_qkv:
+        # stack/fuse decoder weights ONCE, outside the token while_loop
+        # (idempotent — free when the caller pre-prepared on the host)
+        params = prepare_decode_params(params, scan_layers=scan_layers,
+                                       fuse_qkv=fuse_qkv)
     state = init_decode_state(params, cfg, enc, max_len=cache_len,
-                              dtype=cache_dtype, scan_layers=scan_layers)
+                              dtype=cache_dtype, scan_layers=scan_layers,
+                              cross_kv_int8=cross_kv_int8)
     first_logits, state = decoder_prefill(params, cfg, prompt, state)
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 

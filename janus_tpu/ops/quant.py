@@ -29,8 +29,11 @@ from janus_tpu.models.params import map_with_paths
 __all__ = [
     "QuantizedWeight",
     "DynQuantizedWeight",
+    "QuantKV",
     "quantize_weight",
+    "quantize_kv",
     "dequant",
+    "dequant_kv",
     "linear_int8_dynamic",
     "quantize_tree",
 ]
@@ -57,6 +60,42 @@ class DynQuantizedWeight(NamedTuple):
 
     q: jax.Array
     scale: jax.Array
+
+
+class QuantKV(NamedTuple):
+    """int8 attention K or V tensor ``q[..., T, Dh]`` with per-position
+    fp32 scales ``scale[..., T, 1]``.
+
+    The decode-loop HBM diet (VERDICT r3 task 2): at flagship scale the
+    token loop re-reads every layer's cross-attention K/V each step
+    (32 L x B x H x T_enc x Dh, the dominant per-step stream after the
+    weights), so storing them int8 halves that traffic. Per-position
+    scales cost T floats and keep the quantization error of each key/value
+    vector independent (~0.4% rms). Dequantization happens at the
+    attention matmul (:func:`dequant_kv`), where XLA fuses the
+    convert+scale into the operand read — the bf16 copy is never
+    materialized in HBM. Reference analog: CTranslate2's int8 decode
+    (reference backend/services/transcriber.py:26)."""
+
+    q: jax.Array
+    scale: jax.Array
+
+
+def quantize_kv(x: jax.Array) -> QuantKV:
+    """Symmetric per-position int8 quantization over the head dim."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return QuantKV(q=q, scale=scale)
+
+
+def dequant_kv(x, dtype=jnp.bfloat16) -> jax.Array:
+    """QuantKV -> dense ``dtype``; passes plain arrays through unchanged
+    (so attention code is layout-agnostic)."""
+    if isinstance(x, QuantKV):
+        return (x.q.astype(jnp.float32) * x.scale).astype(dtype)
+    return x
 
 
 def quantize_weight(w: jax.Array) -> QuantizedWeight:

@@ -129,6 +129,21 @@ class SemanticEncoder:
             from janus_tpu.parallel.sharding import ASR_PARTITION_RULES, shard_params
 
             asr_params = shard_params(asr_params, mesh, ASR_PARTITION_RULES)
+        elif self.cfg.asr.scan_layers:
+            # prepare the scan layout ONCE on the host: stacked encoder
+            # blocks + stacked/QKV-fused decoder blocks. Leaving this to
+            # trace time re-stacks (copies) the full weight set on every
+            # dispatched call — ~3 GB/call at flagship scale. (With a mesh
+            # the tree must keep the per-layer layout the partition rules
+            # name, so GSPMD handles the stacking instead.)
+            enc_tree = asr_params["encoder"]
+            if not isinstance(enc_tree["blocks"], dict):
+                from janus_tpu.models.params import stack_layer_params
+
+                asr_params = {**asr_params, "encoder": {
+                    **enc_tree, "blocks": stack_layer_params(enc_tree["blocks"])}}
+            asr_params = asr_mod.prepare_decode_params(
+                asr_params, scan_layers=True, fuse_qkv=True)
         self.params = asr_params
         self._compute_dtype = dtype
         self.buckets = tuple(buckets)
@@ -178,17 +193,29 @@ class SemanticEncoder:
             energy_code = classify_energy(rms, pcfg.energy_quiet,
                                           pcfg.energy_loud)
 
-            track = yin_track(
-                audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window,
-                pcfg.hop, pcfg.yin_tolerance, fmin=pcfg.fmin_hz,
-                fmax=pcfg.fmax_hz,
-            )
-            n_hops = -(-n_valid // pcfg.hop)
+            audio_16k = decimate_48k_to_16k(audio_48k)
+            if pcfg.yin_rate == 16_000:
+                # pitch on the anti-aliased 16 kHz stream the mel frontend
+                # needs anyway: 3x shorter signal, 3x smaller window AND
+                # 3x fewer lags than native-rate tracking (the fmax-bounded
+                # search needs no bandwidth above 8 kHz). Geometry scaled
+                # to the same analysis durations; see ProsodyConfig.yin_rate.
+                track = yin_track(
+                    audio_16k, 16_000, pcfg.yin_window_16k,
+                    pcfg.yin_hop_16k, pcfg.yin_tolerance,
+                    fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz,
+                )
+                n_hops = -(-(n_valid // 3) // pcfg.yin_hop_16k)
+            else:
+                track = yin_track(
+                    audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window,
+                    pcfg.hop, pcfg.yin_tolerance, fmin=pcfg.fmin_hz,
+                    fmax=pcfg.fmax_hz,
+                )
+                n_hops = -(-n_valid // pcfg.hop)
             f0 = mean_voiced_pitch(track, n_valid=n_hops)
             pitch_code = classify_pitch(f0, pcfg.pitch_deep_hz,
                                         pcfg.pitch_high_hz)
-
-            audio_16k = decimate_48k_to_16k(audio_48k)
             mel = asr_mod.prepare_mel(audio_16k, acfg,
                                       pad_to_frames=n_16k_frames)
             return rms, energy_code, f0, pitch_code, mel
@@ -223,10 +250,13 @@ class SemanticEncoder:
         tokens = asr_mod.greedy_decode(
             params, acfg, enc, prompt, self.tokenizer.eot,
             max_new=acfg.max_decode_tokens, scan_layers=scan,
-            # KV + cross-KV caches in the compute dtype: at flagship scale
-            # the decode loop re-reads the cross-attention K/V every step,
-            # so fp32 caches would double the dominant HBM stream
+            # self-KV caches in the compute dtype (they stay tiny at phrase
+            # decode lengths); cross-KV optionally int8 with per-position
+            # scales — the decode loop re-reads every layer's cross K/V per
+            # token, the dominant non-weight HBM stream at flagship scale
             cache_dtype=self._compute_dtype,
+            cross_kv_int8=acfg.decode_cross_kv_int8,
+            fuse_qkv=True,
         )
         return tokens, energy_code, pitch_code, f0, rms
 

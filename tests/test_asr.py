@@ -237,3 +237,85 @@ def test_scan_decoder_matches_unrolled():
     lu2, _ = asr.decoder_step(params, cfg, t, st_u)
     ls2, _ = asr.decoder_step(params, cfg, t, st_s)
     np.testing.assert_allclose(np.asarray(ls2), np.asarray(lu2), atol=2e-4)
+
+
+def test_fused_qkv_matches_unfused():
+    """prepare_decode_params' QKV fusion (one [d, 3d] matmul) must emit
+    identical tokens and near-identical logits to the per-projection path,
+    for both the unrolled and the scan/stacked decoder layouts."""
+    cfg = ASRConfig(
+        n_mels=16, d_model=64, encoder_layers=2, decoder_layers=3, num_heads=4,
+        vocab_size=261, max_source_positions=64, max_target_positions=64,
+        max_decode_tokens=8,
+    )
+    params = asr.init_asr(0, cfg)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(21)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+    prompt = jnp.full((2, 1), tok.sot, dtype=jnp.int32)
+    enc = asr.encode_audio(params, cfg, mel)
+
+    ref = np.asarray(asr.greedy_decode(params, cfg, enc, prompt, tok.eot,
+                                       max_new=8))
+    for scan in (False, True):
+        out = np.asarray(asr.greedy_decode(
+            params, cfg, enc, prompt, tok.eot, max_new=8,
+            scan_layers=scan, fuse_qkv=True))
+        np.testing.assert_array_equal(out, ref)
+
+    # host-prepared tree (stacked + fused) consumed as-is
+    prepared = asr.prepare_decode_params(params, scan_layers=True,
+                                         fuse_qkv=True)
+    assert "qkv" in prepared["decoder"]["blocks"]["attn"]
+    assert "qkv" in asr.prepare_decode_params(  # idempotent
+        prepared, scan_layers=True, fuse_qkv=True)["decoder"]["blocks"]["attn"]
+    out = np.asarray(asr.greedy_decode(prepared, cfg, enc, prompt, tok.eot,
+                                       max_new=8, scan_layers=True,
+                                       fuse_qkv=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_cross_kv_int8_quantization_accuracy():
+    from janus_tpu.ops.quant import dequant_kv, quantize_kv
+
+    rng = np.random.default_rng(5)
+    kv = jnp.asarray(rng.standard_normal((3, 2, 4, 64, 16)).astype(np.float32))
+    deq = np.asarray(dequant_kv(quantize_kv(kv), jnp.float32))
+    err = np.abs(deq - np.asarray(kv)).max(axis=-1)
+    amax = np.abs(np.asarray(kv)).max(axis=-1)
+    assert np.all(err <= amax / 127.0 + 1e-6)  # per-position bound
+    # identity on plain arrays
+    assert dequant_kv(kv, jnp.float32) is kv
+
+
+def test_cross_kv_int8_decode_close():
+    """int8 cross-KV is an approximation: prefill logits must stay within
+    quantization-level error of the exact path, and the full greedy decode
+    must run (token equality on trained checkpoints is gated in
+    tests/test_zoo_checkpoints.py)."""
+    cfg = ASRConfig(
+        n_mels=16, d_model=64, encoder_layers=2, decoder_layers=2, num_heads=4,
+        vocab_size=261, max_source_positions=64, max_target_positions=64,
+        max_decode_tokens=8,
+    )
+    params = asr.init_asr(0, cfg)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(13)
+    mel = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+    prompt = jnp.full((2, 1), tok.sot, dtype=jnp.int32)
+    enc = asr.encode_audio(params, cfg, mel)
+
+    for scan in (False, True):
+        st = asr.init_decode_state(params, cfg, enc, max_len=9,
+                                   scan_layers=scan)
+        st_q = asr.init_decode_state(params, cfg, enc, max_len=9,
+                                     scan_layers=scan, cross_kv_int8=True)
+        lx, _ = asr.decoder_prefill(params, cfg, prompt, st)
+        lq, _ = asr.decoder_prefill(params, cfg, prompt, st_q)
+        scale = float(np.abs(np.asarray(lx)).max())
+        assert np.abs(np.asarray(lq) - np.asarray(lx)).max() < 0.02 * scale
+
+        out = np.asarray(asr.greedy_decode(
+            params, cfg, enc, prompt, tok.eot, max_new=8, scan_layers=scan,
+            cross_kv_int8=True, fuse_qkv=True))
+        assert out.shape == (2, 8) and out.dtype == np.int32

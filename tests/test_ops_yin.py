@@ -168,3 +168,42 @@ def test_fast_path_matches_fft_fallback(bounded):
     np.testing.assert_array_equal(voiced_fast, voiced_slow)
     np.testing.assert_allclose(fast[voiced_fast], slow[voiced_slow],
                                rtol=0, atol=0.01)
+
+
+def test_serving_16k_geometry_matches_48k():
+    """The serving encoder tracks pitch on the anti-aliased 16 kHz stream
+    with duration-matched geometry (ProsodyConfig.yin_rate=16000: window
+    1360 ≈ 85 ms, hop 170 ≈ 10.6 ms): mean voiced f0 must agree with
+    native 48 kHz / 4096 / 512 tracking to well under a percent, and the
+    categorical class must agree on off-boundary material."""
+    from janus_tpu.ops.resample import decimate_48k_to_16k
+    from janus_tpu.train.synthetic_task import render_text
+
+    kw = {"fmin": 40.0, "fmax": 1000.0}
+
+    def f48(x48):
+        return float(mean_voiced_pitch(yin_track(jnp.asarray(x48), 48_000,
+                                                 4096, 512, **kw)))
+
+    def f16(x48):
+        x16 = decimate_48k_to_16k(jnp.asarray(x48))
+        return float(mean_voiced_pitch(yin_track(x16, 16_000, 1360, 170, **kw)))
+
+    for freq in (90.0, 140.0, 300.0, 700.0):
+        x = tone(freq, 48_000, seconds=1.0)
+        a, b = f48(x), f16(x)
+        assert abs(a - b) / freq < 0.005, (freq, a, b)
+        assert int(classify_pitch(jnp.asarray(a))) == int(
+            classify_pitch(jnp.asarray(b)))
+
+    # rendered multi-tone corpus utterance: classes agree
+    w48 = render_text("alpha bravo", 48_000, seed=0)
+    a, b = f48(w48), f16(w48)
+    assert abs(a - b) / max(a, 1.0) < 0.02, (a, b)
+    assert int(classify_pitch(jnp.asarray(a))) == int(
+        classify_pitch(jnp.asarray(b)))
+
+    # silence/noise stays unvoiced on both paths
+    rng = np.random.default_rng(7)
+    noise = (0.05 * rng.standard_normal(48_000)).astype(np.float32)
+    assert f16(noise) == 0.0 or abs(f16(noise) - f48(noise)) < 5.0
