@@ -90,11 +90,21 @@ def main(argv=None) -> None:
 
     stages = {}
 
-    yin_fn = jax.jit(lambda a: yin_track(
-        a, cfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
-        pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz))
+    if pcfg.yin_rate == 16_000:
+        # serving path: YIN on the anti-aliased 16 kHz stream
+        # (ProsodyConfig.yin_rate; docs/PARITY.md prosody row)
+        audio16_for_yin = jax.jit(decimate_48k_to_16k)(audio)
+        yin_fn = jax.jit(lambda a: yin_track(
+            a, 16_000, pcfg.yin_window_16k, pcfg.yin_hop_16k,
+            pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz))
+        yin_args = (audio16_for_yin,)
+    else:
+        yin_fn = jax.jit(lambda a: yin_track(
+            a, cfg.audio.sample_rate, pcfg.yin_window, pcfg.hop,
+            pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz))
+        yin_args = (audio,)
     stages["yin"] = _timed(
-        yin_fn, (audio,), lambda o: float(jnp.asarray(o)[0, 0]))
+        yin_fn, yin_args, lambda o: float(jnp.asarray(o)[0, 0]))
 
     rms_fn = jax.jit(lambda a: rms_energy(a, None))
     stages["rms"] = _timed(
