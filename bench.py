@@ -124,7 +124,9 @@ def _encode_program_cost(enc, batch: int, bucket: int):
     """(flops, hbm_bytes) of the exact compiled serving program."""
     import jax.numpy as jnp
 
-    audio = jnp.zeros((batch, bucket), jnp.float32)
+    dtype = (jnp.int16 if enc.cfg.runtime.encode_transfer_int16
+             else jnp.float32)
+    audio = jnp.zeros((batch, bucket), dtype)
     nv = jnp.full((batch,), bucket, jnp.int32)
     compiled = enc._encode_jit.lower(
         enc.params, audio, nv, n_16k_frames=enc.mel_frame_budget(bucket)

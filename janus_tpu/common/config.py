@@ -242,6 +242,15 @@ class RuntimeConfig:
     # Receiver plays synthesized audio chunk-by-chunk as the TTS generates
     # (streaming turnaround) instead of waiting for the full clip.
     streaming_playback: bool = True
+    # Ship encode batches to the device as int16 PCM (half the bytes of
+    # float32) and convert on-device. Capture is int16-native (the
+    # reference's AudioService converts int16 -> float32/32768,
+    # reference backend/services/audio_io.py:125-128), so the round trip
+    # is EXACT for capture-native audio; synthetic float inputs see one
+    # +-1.5e-5 quantization, far below the corpus noise floor. Matters
+    # because host->device transfer is a first-order cost on a remote
+    # dispatch link (15.4 MB/call at the 10 s x batch-8 bucket).
+    encode_transfer_int16: bool = True
 
 
 @dataclass(frozen=True)

@@ -181,6 +181,12 @@ class SemanticEncoder:
         acfg = self.cfg.asr
         pcfg = self.cfg.prosody
 
+        if audio_48k.dtype == jnp.int16:
+            # int16 wire format (RuntimeConfig.encode_transfer_int16):
+            # exact inverse of the capture-side int16 -> float32/32768
+            # conversion (reference backend/services/audio_io.py:125-128)
+            audio_48k = audio_48k.astype(jnp.float32) / 32768.0
+
         def frontend(audio_48k, n_valid):
             """Per-shard audio frontend: prosody + mel. FFT ops (YIN
             autocorrelation, STFT) are not SPMD-partitionable — left to
@@ -310,6 +316,11 @@ class SemanticEncoder:
 
         n16 = self.mel_frame_budget(bucket)
 
+        if self.cfg.runtime.encode_transfer_int16:
+            # ship int16 PCM (half the transfer bytes); the program
+            # converts back with the exact capture-side scaling
+            batch = np.clip(np.round(batch * 32768.0),
+                            -32768, 32767).astype(np.int16)
         batch_j = jnp.asarray(batch)
         n_valid_j = jnp.asarray(n_valid)
         if self.mesh is not None:

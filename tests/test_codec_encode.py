@@ -156,3 +156,35 @@ def test_mesh_sharded_encoder_single_phrase(encoder):
     assert out["text"] == ref["text"]
     assert out["prosody"] == ref["prosody"]
     assert abs(out["f0"] - ref["f0"]) < 1e-2
+
+
+def test_int16_transfer_exact_for_capture_native_audio():
+    """RuntimeConfig.encode_transfer_int16 ships int16 PCM and converts
+    on-device with the exact capture-side scaling (float = i/32768): for
+    audio on the int16 grid (everything a real capture produces), the
+    encode outputs must be IDENTICAL to the float32 wire format."""
+    import numpy as np
+
+    from janus_tpu.common.config import JanusConfig
+    from janus_tpu.runtime.codec import SemanticEncoder
+    from janus_tpu.audio.synthetic import voiced_phrase
+
+    cfg = JanusConfig().override(**{
+        "asr.d_model": 64, "asr.encoder_layers": 1, "asr.decoder_layers": 1,
+        "asr.num_heads": 4, "asr.n_mels": 16, "asr.vocab_size": 300,
+        "asr.max_source_positions": 64, "asr.max_target_positions": 16,
+        "asr.max_decode_tokens": 4})
+    wav = np.asarray(voiced_phrase(f0=150.0, seconds=1.0, amp=0.2, seed=3))
+    native = np.round(wav * 32768.0).clip(-32768, 32767) / 32768.0
+    native = native.astype(np.float32)
+
+    enc_i16 = SemanticEncoder(cfg, buckets=(48_000,))
+    enc_f32 = SemanticEncoder(
+        cfg.override(**{"runtime.encode_transfer_int16": False}),
+        buckets=(48_000,))
+    a = enc_i16.encode_batch([native])[0]
+    b = enc_f32.encode_batch([native])[0]
+    assert a["prosody"] == b["prosody"]
+    assert a["text"] == b["text"]
+    np.testing.assert_allclose(a["f0"], b["f0"], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(a["rms"], b["rms"], rtol=0, atol=1e-7)
