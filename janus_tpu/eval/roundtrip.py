@@ -386,9 +386,10 @@ def evaluate_hard_asr(params, cfg, n_utterances: int = 32,
 
 def main() -> None:
     import os
-    from janus_tpu.common.platform import apply_env_platform
+    from janus_tpu.common.platform import apply_env_platform, enable_compile_cache
 
     apply_env_platform()
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--asr-ckpt", default="checkpoints/demo_asr.npz")

@@ -135,6 +135,9 @@ def train_demo_asr(
     max_seconds: float = 2.0,
     pool_n: Optional[int] = None,
     pool_refresh_every: Optional[int] = None,
+    init_params=None,
+    save_every: Optional[int] = None,
+    save_path: Optional[str] = None,
 ):
     """Returns (params, cfg, tokenizer, history). ``corpus`` forwards
     hard-corpus knobs to :func:`sample_batch` (vocab / speakers / rates /
@@ -154,7 +157,9 @@ def train_demo_asr(
     cfg = cfg or demo_asr_config()
     tok = ByteTokenizer()
     mesh = mesh or build_mesh(MeshConfig(data=1, model=1, seq=1))
-    params = asr_mod.init_asr(seed, cfg)
+    # ``init_params`` warm-starts a continuation run (e.g. a checkpoint
+    # that just missed its WER floor) instead of retraining from scratch
+    params = init_params if init_params is not None else asr_mod.init_asr(seed, cfg)
     n_frames = 2 * cfg.max_source_positions
 
     def loss_fn(p, audio16, tokens, mask):
@@ -207,6 +212,14 @@ def train_demo_asr(
             logger.info("step %d loss=%.4f acc=%.3f (%.1fs)", step,
                         float(metrics["loss"]), float(metrics["asr_acc"]),
                         time.time() - t0)
+        if save_every and save_path and step and step % save_every == 0:
+            # periodic snapshot: a tunnel stall / crash late in a long run
+            # must never cost the whole run (the r4 16k-step run stalled
+            # once at step ~12.5k with nothing on disk)
+            from janus_tpu.train.retrain_demo import save_npz
+
+            save_npz(save_path, state.params)
+            logger.info("checkpoint snapshot @%d -> %s", step, save_path)
     return state.params, cfg, tok, [float(h) for h in history]
 
 

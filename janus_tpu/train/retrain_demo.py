@@ -152,9 +152,10 @@ def save_npz(path: str, params) -> None:
 
 
 def main() -> None:
-    from janus_tpu.common.platform import apply_env_platform
+    from janus_tpu.common.platform import apply_env_platform, enable_compile_cache
 
     apply_env_platform()
+    enable_compile_cache()  # restarted runs skip the remote-compile tunnel
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", default="tts,vocoder",
                     help="comma list: tts, vocoder, asr, asr_hard")
@@ -208,7 +209,8 @@ def main() -> None:
         params, cfg, tok, hist = demo_mod.train_demo_asr(
             args.hard_steps, args.batch, cfg=demo_mod.hard_asr_config(),
             corpus=demo_mod.HARD_CORPUS, max_seconds=3.84, pool_n=2048,
-            pool_refresh_every=400, learning_rate=schedule)
+            pool_refresh_every=400, learning_rate=schedule,
+            save_every=2000, save_path=f"{args.out_dir}/demo_asr_hard.npz")
         save_npz(f"{args.out_dir}/demo_asr_hard.npz", params)
         for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
                            ("snr5", (5.0, 5.0))):
