@@ -186,6 +186,10 @@ class TTSConfig:
     max_mel_frames: int = 1024
     dtype: str = "bfloat16"
     scan_layers: bool = False           # one lax.scan block body (deep models)
+    # Synthesis duration guard: hard cap on emitted audio per prompt token
+    # (plus a 0.35 s floor) — bounds the damage of an AR stop-head miss
+    # (runaway looping). Generous vs normal speech (~0.06-0.09 s/char).
+    max_seconds_per_text_token: float = 0.15
 
     @classmethod
     def flagship(cls) -> "TTSConfig":

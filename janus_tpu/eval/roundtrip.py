@@ -121,7 +121,10 @@ def evaluate_roundtrip(
     for p in packets:
         audio_bytes = synth.synthesize(p)
         pcm = np.frombuffer(audio_bytes, dtype=np.int16).astype(np.float32) / 32768.0
-        if len(pcm) < 1536 * 6:
+        # transcribe whatever came back (the 1536*6 minimum is a SEND-side
+        # VAD heuristic, not a receive-side rule — a correctly synthesized
+        # one-short-word clip, e.g. 'nov' at 0.18 s, must count)
+        if len(pcm) == 0:
             rt_hyps.append("")
             continue
         rt = encoder.encode_batch([pcm])[0]

@@ -367,6 +367,17 @@ def run_full_suite(seconds: float = 4.0, flagship: bool = False) -> Dict:
     _max = max((abs(d["delta"]) for d in deltas), default=None)
     print(f"[model_vs_measured] rows={len(deltas)} max|delta|={_max}",
           file=sys.stderr, flush=True)
+    suite["model_vs_measured_notes"] = (
+        "The modeled efficiency assumes a real N-chip v5e pod (per-chip "
+        "HBM/MXU/ICI); the measured side time-slices N virtual devices on "
+        "this host's 2 physical cores. For dp the two agree closely (the "
+        "program is embarrassingly batch-parallel, so only partitioning "
+        "overhead differs). For tp/sp the model credits real hardware "
+        "effects the shared-silicon substrate cannot express — e.g. TP "
+        "halves each chip's weight working set (modeled eff > 1) while "
+        "virtual devices share one memory system — so deltas there bound "
+        "substrate mismatch, not model error. dp deltas are the "
+        "partitioning-overhead cross-check.")
 
     if flagship:
         import dataclasses

@@ -265,17 +265,27 @@ def _prompt_embedding(params: Params, cfg: TTSConfig, text_ids: jax.Array,
 
 def tts_forward(params: Params, cfg: TTSConfig, text_ids: jax.Array,
                 emotion: jax.Array, mel_groups: jax.Array,
-                speaker: Optional[jax.Array] = None, text_vocab: int = 261
+                speaker: Optional[jax.Array] = None, text_vocab: int = 261,
+                mel_inputs: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """Teacher-forced training pass.
 
     ``text_ids[B, Lt]``, ``mel_groups[B, S, r*n_mels]`` (targets). Returns
     (mel_pred[B, S, r*n_mels], stop_logits[B, S]): position i predicts
     group i from prompt + groups < i.
+
+    ``mel_inputs`` optionally replaces the teacher-forced audio PREFIX
+    (targets stay ``mel_groups``): training with noise-corrupted prefixes
+    closes the exposure-bias gap — at inference the prefix is the model's
+    own imperfect output, and a model trained only on clean prefixes
+    drifts into word repetition/looping on multi-word prompts (the r4
+    roundtrip-WER finding; the standard scheduled-sampling/prenet-noise
+    remedy for AR acoustic models).
     """
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
     # shift mel right: inputs are groups [:-1], first audio input is BOA slot
-    mel_in = _embed_mel(params, mel_groups[:, :-1, :])
+    src = mel_groups if mel_inputs is None else mel_inputs
+    mel_in = _embed_mel(params, src[:, :-1, :])
     x = jnp.concatenate([prompt, mel_in], axis=1)
 
     b = text_ids.shape[0]

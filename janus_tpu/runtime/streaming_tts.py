@@ -219,6 +219,10 @@ class StreamingSynthesizer:
             return out[0, :take]
 
         samples_per_frame48 = hop * self._up // self._down
+        # same text-proportional duration guard as the fused path
+        # (Synthesizer._run_tts) — parity requires identical clipping
+        cap48 = int((0.35 + tcfg.max_seconds_per_text_token * len(ids))
+                    * 48_000)
         a = 0
         while a < t_frames:
             b = min(a + chunk_frames, t_frames)
@@ -228,8 +232,8 @@ class StreamingSynthesizer:
                               -(-min(t_frames, b + self._hb) // r))
             while groups_have < need_groups and not stopped:
                 gen_more()
-            n48 = (n_valid_groups if stopped else max_groups) \
-                * r * samples_per_frame48
+            n48 = min((n_valid_groups if stopped else max_groups)
+                      * r * samples_per_frame48, cap48)
             if emitted48 >= n48:
                 break
             chunk = emit(a, b, n48 - emitted48)

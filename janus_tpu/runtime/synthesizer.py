@@ -175,7 +175,13 @@ class Synthesizer:
             jnp.asarray(padded), jnp.asarray(emo), speaker
         )
         n = int(np.asarray(n_samples)[0]) if np.ndim(n_samples) else int(n_samples)
-        pcm = np.asarray(wav[0])[: max(n, 0)]
+        # Text-proportional duration guard: an AR stop-head miss must not
+        # emit unbounded trailing audio (looping is the classic failure of
+        # autoregressive acoustic models — real TTS stacks cap decoder
+        # steps by prompt length the same way).
+        cap = int((0.35 + self.cfg.tts.max_seconds_per_text_token * len(ids))
+                  * 48_000)
+        pcm = np.asarray(wav[0])[: max(min(n, cap), 0)]
         pcm = np.clip(pcm, -1.0, 1.0)
         return (pcm * 32767.0).astype(np.int16).tobytes()
 

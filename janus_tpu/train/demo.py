@@ -298,10 +298,17 @@ def demo_speaker_vectors(cfg=None, spk_seed: int = 42):
 
 def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
                    cfg=None, learning_rate: float = 1e-3, log_every: int = 100,
-                   multi_speaker: bool = True):
+                   multi_speaker: bool = True, tf_input_noise: float = 0.35):
     """Teacher-forced text->mel training on the tone language; with
     ``multi_speaker`` the model is conditioned on speaker embeddings from
-    the fixed enrollment encoder (functional voice cloning)."""
+    the fixed enrollment encoder (functional voice cloning).
+
+    ``tf_input_noise``: Gaussian noise on the teacher-forced mel PREFIX
+    (relative to the pool's mel std; targets stay clean). At inference the
+    prefix is the model's own imperfect output — clean-prefix-only training
+    drifts into word loops/repetitions on multi-word prompts (r4 roundtrip
+    WER 0.25-0.34 with repeats like 'mike mike mike lima'); prefix noise is
+    the scheduled-sampling-style fix."""
     from janus_tpu.models import tts as tts_mod
     from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
     from janus_tpu.train.losses import tts_loss
@@ -320,9 +327,9 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     _spk_params, spk_vecs = demo_speaker_vectors(cfg)
     spk_matrix = np.stack(spk_vecs)  # [n_speakers, d]
 
-    def loss_fn(p, text, emo, mels, mask, spk):
+    def loss_fn(p, text, emo, mels, mask, spk, noisy):
         return tts_loss(p, cfg, text, emo, mels, mask, speaker=spk,
-                        text_vocab=tok.vocab_size)
+                        text_vocab=tok.vocab_size, mel_inputs=noisy)
 
     trainer = Trainer(loss_fn, mesh, TTS_PARTITION_RULES, learning_rate=learning_rate)
     state = trainer.create_state(params)
@@ -350,6 +357,7 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     pool_ids = [tok.encode(t)[: cfg.max_text_tokens] for t in pool_texts]
     pool_emo = np.asarray([emotion_id(e) for e in pool_emotions], np.int32)
     pool_spk = spk_matrix[pool_speakers].astype(np.float32)
+    noise_std = tf_input_noise * float(pool_mels[pool_mask > 0].std())
 
     history = []  # device scalars; float() only at log points so the
     # host never blocks per step (async dispatch pipelines the tunnel RTT)
@@ -363,9 +371,12 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
         for row, i in enumerate(idx):
             ids = pool_ids[i][:width]
             text_ids[row, : len(ids)] = ids
+        mels = pool_mels[idx]
+        noisy = (mels + noise_std * rng.standard_normal(mels.shape)
+                 .astype(np.float32)) if noise_std > 0 else mels
         state, metrics = trainer.train_step(
-            state, text_ids, pool_emo[idx], pool_mels[idx], pool_mask[idx],
-            pool_spk[idx])
+            state, text_ids, pool_emo[idx], mels, pool_mask[idx],
+            pool_spk[idx], noisy)
         history.append(metrics["loss"])
         if log_every and step % log_every == 0:
             logger.info("tts step %d loss=%.4f (%.1fs)", step,

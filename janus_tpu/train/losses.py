@@ -49,14 +49,17 @@ def asr_loss(params, cfg: ASRConfig, mel: jax.Array, tokens: jax.Array,
 def tts_loss(params, cfg: TTSConfig, text_ids: jax.Array, emotion: jax.Array,
              mel_groups: jax.Array, group_mask: jax.Array,
              speaker: Optional[jax.Array] = None,
-             text_vocab: int = 261) -> Tuple[jax.Array, Dict]:
+             text_vocab: int = 261,
+             mel_inputs: Optional[jax.Array] = None) -> Tuple[jax.Array, Dict]:
     """Teacher-forced L1+L2 mel regression plus stop-flag BCE.
 
     ``mel_groups[B, S, r*n_mels]`` targets; ``group_mask[B, S]`` marks real
-    groups (the last real group is the stop target).
-    """
+    groups (the last real group is the stop target). ``mel_inputs``
+    optionally corrupts the teacher-forced prefix (exposure-bias
+    regularization — see ``tts_forward``)."""
     mel_pred, stop_logits = tts_mod.tts_forward(
-        params, cfg, text_ids, emotion, mel_groups, speaker, text_vocab
+        params, cfg, text_ids, emotion, mel_groups, speaker, text_vocab,
+        mel_inputs=mel_inputs,
     )
     m = group_mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)

@@ -159,7 +159,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", default="tts,vocoder",
                     help="comma list: tts, vocoder, asr, asr_hard")
-    ap.add_argument("--tts-steps", type=int, default=3000)
+    ap.add_argument("--tts-steps", type=int, default=9000)
     ap.add_argument("--voc-steps", type=int, default=8000)
     ap.add_argument("--asr-steps", type=int, default=4000)
     ap.add_argument("--hard-steps", type=int, default=12000)
