@@ -257,9 +257,17 @@ def evaluate_asr(params, cfg: ASRConfig, tok: ByteTokenizer,
 def demo_tts_config():
     from janus_tpu.common.config import TTSConfig
 
+    # d192/L4: the d128/L3 model plateaued with last-word substitution
+    # errors on 3-word prompts (r4 roundtrip finding — capacity, not
+    # recipe: prefix-noise training fixed looping but not the tail errors).
+    # max_mel_frames 192, not 128: a 3-word prompt at the slow emotion
+    # rates renders ~120 frames — at a 128 budget its training targets
+    # were TAIL-TRUNCATED (mel_targets_for crops at max_groups), i.e. the
+    # longest prompts trained on corrupted tails, which is exactly where
+    # the roundtrip errors lived.
     return TTSConfig(
-        d_model=128, layers=3, num_heads=4, n_mels=80, reduction=2,
-        max_text_tokens=48, max_mel_frames=128,
+        d_model=192, layers=4, num_heads=4, n_mels=80, reduction=2,
+        max_text_tokens=48, max_mel_frames=192,
     )
 
 
@@ -298,7 +306,9 @@ def demo_speaker_vectors(cfg=None, spk_seed: int = 42):
 
 def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
                    cfg=None, learning_rate: float = 1e-3, log_every: int = 100,
-                   multi_speaker: bool = True, tf_input_noise: float = 0.35):
+                   multi_speaker: bool = True, tf_input_noise: float = 0.35,
+                   pool_refresh_every: Optional[int] = None,
+                   pool_n: Optional[int] = None):
     """Teacher-forced text->mel training on the tone language; with
     ``multi_speaker`` the model is conditioned on speaker embeddings from
     the fixed enrollment encoder (functional voice cloning).
@@ -308,7 +318,14 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     prefix is the model's own imperfect output — clean-prefix-only training
     drifts into word loops/repetitions on multi-word prompts (r4 roundtrip
     WER 0.25-0.34 with repeats like 'mike mike mike lima'); prefix noise is
-    the scheduled-sampling-style fix."""
+    the scheduled-sampling-style fix.
+
+    ``pool_refresh_every``: re-render the text pool every N steps in a
+    background thread — a FIXED 512-text pool covers ~12% of the 3-word
+    combination space, and the model substitutes frequent words on unseen
+    combinations (the r4 roundtrip tail errors); refreshing makes the text
+    distribution effectively unlimited, the same fix the hard-ASR corpus
+    needed."""
     from janus_tpu.models import tts as tts_mod
     from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
     from janus_tpu.train.losses import tts_loss
@@ -343,26 +360,55 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     # train step per bucket.
     buckets = tts_mod.text_buckets(cfg.max_text_tokens)
 
-    # Pre-render an utterance pool ONCE: per-step host data generation
-    # would otherwise serialize with (and dominate) the device step when
-    # dispatch is remote. Minibatches sample from the pool.
-    pool_n = max(512, 4 * batch)
-    pool_texts = [sample_text(rng) for _ in range(pool_n)]
-    pool_speakers = rng.integers(0, n_speakers, pool_n).tolist()
-    pool_emotions = [EMOTIONS[int(i)]
-                     for i in rng.integers(0, len(EMOTIONS), pool_n)]
-    pool_mels, pool_mask = mel_targets_for(
-        pool_texts, cfg.n_mels, cfg.reduction, max_groups,
-        speakers=pool_speakers, emotions=pool_emotions)
-    pool_ids = [tok.encode(t)[: cfg.max_text_tokens] for t in pool_texts]
-    pool_emo = np.asarray([emotion_id(e) for e in pool_emotions], np.int32)
-    pool_spk = spk_matrix[pool_speakers].astype(np.float32)
+    # Pre-render an utterance pool ONCE (per-step host rendering would
+    # serialize with remote dispatch); minibatches sample from the pool
+    # and ``pool_refresh_every`` re-renders it in a background thread.
+    pool_n = pool_n or max(512, 4 * batch)
+
+    def build_pool(r: np.random.Generator) -> dict:
+        texts = [sample_text(r) for _ in range(pool_n)]
+        speakers = r.integers(0, n_speakers, pool_n).tolist()
+        emos = [EMOTIONS[int(i)] for i in r.integers(0, len(EMOTIONS), pool_n)]
+        mels, mask = mel_targets_for(
+            texts, cfg.n_mels, cfg.reduction, max_groups,
+            speakers=speakers, emotions=emos)
+        return {
+            "ids": [tok.encode(t)[: cfg.max_text_tokens] for t in texts],
+            "emo": np.asarray([emotion_id(e) for e in emos], np.int32),
+            "spk": spk_matrix[speakers].astype(np.float32),
+            "mels": mels, "mask": mask,
+        }
+
+    pool = build_pool(rng)
+    pool_ids, pool_emo = pool["ids"], pool["emo"]
+    pool_spk, pool_mels, pool_mask = pool["spk"], pool["mels"], pool["mask"]
     noise_std = tf_input_noise * float(pool_mels[pool_mask > 0].std())
+
+    import threading
+
+    fresh: dict = {}
+
+    def render_next(render_seed: int) -> threading.Thread:
+        def work():
+            fresh["pool"] = build_pool(np.random.default_rng(render_seed))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        return t
+
+    renderer = render_next(seed + 1) if pool_refresh_every else None
 
     history = []  # device scalars; float() only at log points so the
     # host never blocks per step (async dispatch pipelines the tunnel RTT)
     t0 = time.time()
     for step in range(steps):
+        if (pool_refresh_every and step and step % pool_refresh_every == 0
+                and renderer is not None):
+            renderer.join()
+            p = fresh.pop("pool")
+            pool_ids, pool_emo = p["ids"], p["emo"]
+            pool_spk, pool_mels, pool_mask = p["spk"], p["mels"], p["mask"]
+            renderer = render_next(seed + 1 + step)
         idx = rng.choice(pool_n, size=batch, replace=False)
         longest = max(len(pool_ids[i]) for i in idx)
         fitting = [b for b in buckets if b >= longest] or [buckets[-1]]

@@ -227,7 +227,8 @@ def main() -> None:
 
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(
-            steps=args.tts_steps, batch=args.batch)
+            steps=args.tts_steps, batch=args.batch,
+            pool_refresh_every=1200)
         logger.info("tts final loss=%.4f", hist[-1])
         save_npz(f"{args.out_dir}/demo_tts.npz", params)
         # speaker encoder is deterministic (seed 42) — re-save for the zoo
