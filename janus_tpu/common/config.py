@@ -137,13 +137,16 @@ class ASRConfig:
     # for flagship-deep models (32-layer unrolled HLO overwhelms compile)
     scan_layers: bool = False
     # serving decode loop: store per-layer cross-attention K/V int8 with
-    # per-position scales — the loop re-reads them every token, so this
-    # halves the dominant non-weight HBM stream at flagship scale.
-    # Approximation bounds are tested in tests/test_asr.py; end-to-end WER
-    # through the serving encoder is gated on the committed checkpoints in
-    # tests/test_zoo_checkpoints.py. The torch-parity tests call
-    # greedy_decode directly (flag off) and are unaffected.
-    decode_cross_kv_int8: bool = True
+    # per-position scales. In the HBM ledger this halves the dominant
+    # non-weight per-token stream — but MEASURED at flagship scale the
+    # int8 path is ~20% SLOWER (BENCH r4 flagship_stage_ms: 165.4 ms vs
+    # 138.3 bf16): XLA does not fuse the convert+scale into the attention
+    # matmul operand on this backend, so the dequantized bf16 copy
+    # materializes each step, costing more than the int8 read saves.
+    # Default OFF (bf16 caches, exact); the capability stays available and
+    # benchmarked as an ablation (docs/ROOFLINE.md §1). Approximation
+    # bounds are tested in tests/test_asr.py.
+    decode_cross_kv_int8: bool = False
 
     @classmethod
     def tiny(cls) -> "ASRConfig":
