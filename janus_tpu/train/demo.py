@@ -308,7 +308,8 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
                    cfg=None, learning_rate: float = 1e-3, log_every: int = 100,
                    multi_speaker: bool = True, tf_input_noise: float = 0.35,
                    pool_refresh_every: Optional[int] = None,
-                   pool_n: Optional[int] = None):
+                   pool_n: Optional[int] = None,
+                   emotion_weights: Optional[dict] = None):
     """Teacher-forced text->mel training on the tone language; with
     ``multi_speaker`` the model is conditioned on speaker embeddings from
     the fixed enrollment encoder (functional voice cloning).
@@ -365,10 +366,19 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     # and ``pool_refresh_every`` re-renders it in a background thread.
     pool_n = pool_n or max(512, 4 * batch)
 
+    # emotion sampling: optionally oversample tags whose renders are
+    # hardest (fast rates compress chars to ~5 mel hops — the r4 emotion
+    # roundtrip failures were exactly the excited/panicked tails)
+    emo_p = np.ones(len(EMOTIONS))
+    for name, w in (emotion_weights or {}).items():
+        emo_p[EMOTIONS.index(name)] = w
+    emo_p = emo_p / emo_p.sum()
+
     def build_pool(r: np.random.Generator) -> dict:
         texts = [sample_text(r) for _ in range(pool_n)]
         speakers = r.integers(0, n_speakers, pool_n).tolist()
-        emos = [EMOTIONS[int(i)] for i in r.integers(0, len(EMOTIONS), pool_n)]
+        emos = [EMOTIONS[int(i)]
+                for i in r.choice(len(EMOTIONS), pool_n, p=emo_p)]
         mels, mask = mel_targets_for(
             texts, cfg.n_mels, cfg.reduction, max_groups,
             speakers=speakers, emotions=emos)

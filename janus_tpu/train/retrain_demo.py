@@ -228,7 +228,11 @@ def main() -> None:
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(
             steps=args.tts_steps, batch=args.batch,
-            pool_refresh_every=1200)
+            pool_refresh_every=1200,
+            # fast-rate tags render chars at ~5 mel hops and were the only
+            # emotion-roundtrip failures (r4: 'excited'/'panicked' corrupt
+            # the last word) — give them more coverage per step
+            emotion_weights={"excited": 2.0, "panicked": 2.5, "angry": 1.5})
         logger.info("tts final loss=%.4f", hist[-1])
         save_npz(f"{args.out_dir}/demo_tts.npz", params)
         # speaker encoder is deterministic (seed 42) — re-save for the zoo
