@@ -231,8 +231,13 @@ def main() -> None:
             pool_refresh_every=1200,
             # fast-rate tags render chars at ~5 mel hops and were the only
             # emotion-roundtrip failures (r4: 'excited'/'panicked' corrupt
-            # the last word) — give them more coverage per step
-            emotion_weights={"excited": 2.0, "panicked": 2.5, "angry": 1.5})
+            # the last word) — give them more coverage per step; mild
+            # weights on the remaining non-neutral tags keep the first
+            # rebalance from starving them (the 2.0/2.5-only weighting
+            # traded an 'excited' failure for a 'relaxed' one)
+            emotion_weights={"excited": 2.0, "panicked": 2.2, "angry": 1.5,
+                             "relaxed": 1.4, "sad": 1.3, "calm": 1.2,
+                             "serious": 1.2, "whispering": 1.2})
         logger.info("tts final loss=%.4f", hist[-1])
         save_npz(f"{args.out_dir}/demo_tts.npz", params)
         # speaker encoder is deterministic (seed 42) — re-save for the zoo
