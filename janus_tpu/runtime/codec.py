@@ -129,21 +129,26 @@ class SemanticEncoder:
             from janus_tpu.parallel.sharding import ASR_PARTITION_RULES, shard_params
 
             asr_params = shard_params(asr_params, mesh, ASR_PARTITION_RULES)
-        elif self.cfg.asr.scan_layers:
-            # prepare the scan layout ONCE on the host: stacked encoder
-            # blocks + stacked/QKV-fused decoder blocks. Leaving this to
-            # trace time re-stacks (copies) the full weight set on every
-            # dispatched call — ~3 GB/call at flagship scale. (With a mesh
-            # the tree must keep the per-layer layout the partition rules
-            # name, so GSPMD handles the stacking instead.)
-            enc_tree = asr_params["encoder"]
-            if not isinstance(enc_tree["blocks"], dict):
-                from janus_tpu.models.params import stack_layer_params
+        else:
+            # prepare the decode layout ONCE on the host: stacked encoder
+            # blocks (scan configs) + stacked/QKV-fused decoder blocks.
+            # Leaving this to trace time re-stacks/concatenates (copies)
+            # the decoder weights inside every dispatched program — ~GBs
+            # per call at flagship scale (advisor r4: the non-scan branch
+            # had the same in-program copy through the fuse_qkv flag).
+            # (With a mesh the tree must keep the per-layer q/k/v layout
+            # the partition rules name, so no host prep there.)
+            if self.cfg.asr.scan_layers:
+                enc_tree = asr_params["encoder"]
+                if not isinstance(enc_tree["blocks"], dict):
+                    from janus_tpu.models.params import stack_layer_params
 
-                asr_params = {**asr_params, "encoder": {
-                    **enc_tree, "blocks": stack_layer_params(enc_tree["blocks"])}}
+                    asr_params = {**asr_params, "encoder": {
+                        **enc_tree,
+                        "blocks": stack_layer_params(enc_tree["blocks"])}}
             asr_params = asr_mod.prepare_decode_params(
-                asr_params, scan_layers=True, fuse_qkv=True)
+                asr_params, scan_layers=self.cfg.asr.scan_layers,
+                fuse_qkv=True)
         self.params = asr_params
         self._compute_dtype = dtype
         self.buckets = tuple(buckets)
@@ -211,7 +216,11 @@ class SemanticEncoder:
                     pcfg.yin_hop_16k, pcfg.yin_tolerance,
                     fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz,
                 )
-                n_hops = -(-(n_valid // 3) // pcfg.yin_hop_16k)
+                # ceil for BOTH divisions: the decimator emits ceil(n/3)
+                # samples, so flooring here could drop the final partial
+                # hop from the voiced-pitch mask (advisor r4)
+                n16 = -(-n_valid // 3)
+                n_hops = -(-n16 // pcfg.yin_hop_16k)
             else:
                 track = yin_track(
                     audio_48k, self.cfg.audio.sample_rate, pcfg.yin_window,
@@ -262,7 +271,9 @@ class SemanticEncoder:
             # token, the dominant non-weight HBM stream at flagship scale
             cache_dtype=self._compute_dtype,
             cross_kv_int8=acfg.decode_cross_kv_int8,
-            fuse_qkv=True,
+            # host-prepared trees are already fused (idempotent re-fuse is
+            # free); under a mesh keep the sharded per-layer q/k/v layout
+            fuse_qkv=self.mesh is None,
         )
         return tokens, energy_code, pitch_code, f0, rms
 

@@ -95,6 +95,36 @@ def _hard_corpus() -> dict:
 HARD_CORPUS = _hard_corpus()
 
 
+def _bg_render(fn, label: str = "pool"):
+    """Run ``fn`` (a pool builder) in a daemon thread; the returned join()
+    yields its result — or falls back to a synchronous re-render if the
+    thread died. Without this a render exception (e.g. during a tunnel
+    stall) surfaces hundreds of steps later as a bare KeyError and kills
+    the whole run (advisor r4)."""
+    import threading
+
+    box: dict = {}
+
+    def work():
+        try:
+            box["out"] = fn()
+        except Exception as e:  # noqa: BLE001 — captured, re-raised at join
+            box["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+
+    def join():
+        t.join()
+        if "err" in box:
+            logger.warning("background %s render failed (%s); "
+                           "re-rendering synchronously", label, box["err"])
+            return fn()
+        return box["out"]
+
+    return join
+
+
 def _decimate_pool(audio: np.ndarray) -> np.ndarray:
     """Serving-path frontend for a rendered pool: capture at 48 kHz,
     anti-aliased decimation back to 16 kHz (the SemanticEncoder's own
@@ -176,21 +206,15 @@ def train_demo_asr(
     pool_audio, pool_tokens, pool_mask, _ = build_asr_pool(
         rng, pool_n, tok, cfg, max_seconds, corpus or {})
 
-    import threading
-
-    fresh: dict = {}
-
-    def render_next(render_seed: int) -> threading.Thread:
-        def work():
+    def render_next(render_seed: int):
+        def build():
             r = np.random.default_rng(render_seed)
-            fresh["batch"] = sample_batch(
+            return sample_batch(
                 r, pool_n, tok, max_seconds=max_seconds,
                 max_tokens=cfg.max_target_positions, augment=True,
                 **(corpus or {}))
 
-        t = threading.Thread(target=work, daemon=True)
-        t.start()
-        return t
+        return _bg_render(build, label="asr")
 
     renderer = (render_next(seed + 1) if pool_refresh_every else None)
 
@@ -200,8 +224,7 @@ def train_demo_asr(
     for step in range(steps):
         if (pool_refresh_every and step and step % pool_refresh_every == 0
                 and renderer is not None):
-            renderer.join()
-            audio48, pool_tokens, pool_mask, _texts = fresh.pop("batch")
+            audio48, pool_tokens, pool_mask, _texts = renderer()
             pool_audio = _decimate_pool(audio48)
             renderer = render_next(seed + 1 + step)
         idx = rng.choice(pool_n, size=batch, replace=False)
@@ -271,6 +294,21 @@ def demo_tts_config():
     )
 
 
+def hard_tts_config():
+    """TTS geometry for the HARD corpus (256 CV-syllable words, up to
+    5-word prompts). Worst-case render: 40 chars at the slow emotion rates
+    (7 hops/char after hop-quantization) + 4 gaps ≈ 300 mel frames, so the
+    320-frame budget never tail-truncates a training target (the r4 demo
+    lesson); 48 text tokens cover 5×8-char words + spaces. d256/L6: the
+    d192/L4 demo model already strained on 3-word toy prompts."""
+    from janus_tpu.common.config import TTSConfig
+
+    return TTSConfig(
+        d_model=256, layers=6, num_heads=8, n_mels=80, reduction=2,
+        max_text_tokens=48, max_mel_frames=320,
+    )
+
+
 def demo_vocoder_config():
     from janus_tpu.common.config import VocoderConfig
 
@@ -309,7 +347,11 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
                    multi_speaker: bool = True, tf_input_noise: float = 0.35,
                    pool_refresh_every: Optional[int] = None,
                    pool_n: Optional[int] = None,
-                   emotion_weights: Optional[dict] = None):
+                   emotion_weights: Optional[dict] = None,
+                   corpus: Optional[dict] = None,
+                   init_params=None,
+                   save_every: Optional[int] = None,
+                   save_path: Optional[str] = None):
     """Teacher-forced text->mel training on the tone language; with
     ``multi_speaker`` the model is conditioned on speaker embeddings from
     the fixed enrollment encoder (functional voice cloning).
@@ -326,7 +368,15 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     combination space, and the model substitutes frequent words on unseen
     combinations (the r4 roundtrip tail errors); refreshing makes the text
     distribution effectively unlimited, the same fix the hard-ASR corpus
-    needed."""
+    needed.
+
+    ``corpus`` forwards text-sampling knobs to :func:`sample_text`
+    (``vocab`` / ``min_words`` / ``max_words``) — pass
+    ``dict(vocab=HARD_WORDS, max_words=5)`` with :func:`hard_tts_config`
+    to train the hard-corpus TTS (VERDICT r4 task 1). ``init_params``
+    warm-starts a continuation run; ``save_every``/``save_path`` snapshot
+    the checkpoint periodically (a tunnel stall late in a long run must
+    never cost the whole run)."""
     from janus_tpu.models import tts as tts_mod
     from janus_tpu.parallel.sharding import TTS_PARTITION_RULES
     from janus_tpu.train.losses import tts_loss
@@ -340,7 +390,8 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     cfg = cfg or demo_tts_config()
     tok = ByteTokenizer()
     mesh = build_mesh(MeshConfig(data=1, model=1, seq=1))
-    params = tts_mod.init_tts(seed, cfg, text_vocab=tok.vocab_size)
+    params = (init_params if init_params is not None
+              else tts_mod.init_tts(seed, cfg, text_vocab=tok.vocab_size))
     n_speakers = len(SPEAKER_TIMBRES) if multi_speaker else 1
     _spk_params, spk_vecs = demo_speaker_vectors(cfg)
     spk_matrix = np.stack(spk_vecs)  # [n_speakers, d]
@@ -374,8 +425,11 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
         emo_p[EMOTIONS.index(name)] = w
     emo_p = emo_p / emo_p.sum()
 
+    text_kw = {k: (corpus or {})[k]
+               for k in ("vocab", "min_words", "max_words") if k in (corpus or {})}
+
     def build_pool(r: np.random.Generator) -> dict:
-        texts = [sample_text(r) for _ in range(pool_n)]
+        texts = [sample_text(r, **text_kw) for _ in range(pool_n)]
         speakers = r.integers(0, n_speakers, pool_n).tolist()
         emos = [EMOTIONS[int(i)]
                 for i in r.choice(len(EMOTIONS), pool_n, p=emo_p)]
@@ -394,17 +448,10 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     pool_spk, pool_mels, pool_mask = pool["spk"], pool["mels"], pool["mask"]
     noise_std = tf_input_noise * float(pool_mels[pool_mask > 0].std())
 
-    import threading
-
-    fresh: dict = {}
-
-    def render_next(render_seed: int) -> threading.Thread:
-        def work():
-            fresh["pool"] = build_pool(np.random.default_rng(render_seed))
-
-        t = threading.Thread(target=work, daemon=True)
-        t.start()
-        return t
+    def render_next(render_seed: int):
+        return _bg_render(
+            lambda: build_pool(np.random.default_rng(render_seed)),
+            label="tts")
 
     renderer = render_next(seed + 1) if pool_refresh_every else None
 
@@ -414,8 +461,7 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
     for step in range(steps):
         if (pool_refresh_every and step and step % pool_refresh_every == 0
                 and renderer is not None):
-            renderer.join()
-            p = fresh.pop("pool")
+            p = renderer()
             pool_ids, pool_emo = p["ids"], p["emo"]
             pool_spk, pool_mels, pool_mask = p["spk"], p["mels"], p["mask"]
             renderer = render_next(seed + 1 + step)
@@ -437,6 +483,11 @@ def train_demo_tts(steps: int = 800, batch: int = 16, seed: int = 0,
         if log_every and step % log_every == 0:
             logger.info("tts step %d loss=%.4f (%.1fs)", step,
                         float(metrics["loss"]), time.time() - t0)
+        if save_every and save_path and step and step % save_every == 0:
+            from janus_tpu.train.retrain_demo import save_npz
+
+            save_npz(save_path, state.params)
+            logger.info("tts checkpoint snapshot @%d -> %s", step, save_path)
     return state.params, cfg, tok, [float(h) for h in history]
 
 

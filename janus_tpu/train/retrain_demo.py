@@ -158,11 +158,15 @@ def main() -> None:
     enable_compile_cache()  # restarted runs skip the remote-compile tunnel
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", default="tts,vocoder",
-                    help="comma list: tts, vocoder, asr, asr_hard")
-    ap.add_argument("--tts-steps", type=int, default=9000)
-    ap.add_argument("--voc-steps", type=int, default=8000)
+                    help="comma list: tts, vocoder, asr, asr_hard, tts_hard")
+    ap.add_argument("--tts-steps", type=int, default=12000)
+    ap.add_argument("--voc-steps", type=int, default=12000)
     ap.add_argument("--asr-steps", type=int, default=4000)
     ap.add_argument("--hard-steps", type=int, default=12000)
+    ap.add_argument("--hard-tts-steps", type=int, default=16000)
+    ap.add_argument("--hard-warm-start", action="store_true",
+                    help="asr_hard: continue from the committed checkpoint "
+                         "instead of retraining from scratch")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
     args = ap.parse_args()
@@ -195,25 +199,41 @@ def main() -> None:
 
     if "asr_hard" in what:
         # HARD corpus: 256-word vocabulary, 16 speakers, 0.8-1.25x rates,
-        # 8-40 dB SNR noise with a 25% clean fraction, up to 5-word
-        # utterances (VERDICT r2 item 2a).
-        # The pool refreshes every 400 steps (a FIXED 2048-utterance pool
-        # memorizes: train acc 1.0 but fresh WER 0.35); cosine decay for
-        # the long run.
+        # SNR noise with a 25% clean fraction, up to 5-word utterances
+        # (VERDICT r2 item 2a). The pool refreshes every 400 steps (a
+        # FIXED 2048-utterance pool memorizes: train acc 1.0 but fresh
+        # WER 0.35); cosine decay for the long run.
+        # Training noise reaches down to 2 dB (the committed corpus floor
+        # is 8): the snr0 eval row was far out-of-distribution and sat at
+        # WER 0.137 (VERDICT r4 task 7). --hard-warm-start continues from
+        # the committed checkpoint at a low peak LR so the clean/snr10
+        # floors survive the distribution shift.
+        import os
+
         import optax
 
+        noisy_corpus = dict(demo_mod.HARD_CORPUS)
+        noisy_corpus["snr_db_range"] = (2.0, 40.0)
+        init = None
+        peak = 1e-3
+        ckpt = f"{args.out_dir}/demo_asr_hard.npz"
+        if args.hard_warm_start and os.path.exists(ckpt):
+            from janus_tpu.eval.roundtrip import load_npz_params
+
+            init = load_npz_params(ckpt)
+            peak = 3e-4
         schedule = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=1e-3,
+            init_value=0.0, peak_value=peak,
             warmup_steps=min(300, args.hard_steps // 10),
             decay_steps=args.hard_steps, end_value=5e-5)
         params, cfg, tok, hist = demo_mod.train_demo_asr(
             args.hard_steps, args.batch, cfg=demo_mod.hard_asr_config(),
-            corpus=demo_mod.HARD_CORPUS, max_seconds=3.84, pool_n=2048,
-            pool_refresh_every=400, learning_rate=schedule,
+            corpus=noisy_corpus, max_seconds=3.84, pool_n=2048,
+            pool_refresh_every=400, learning_rate=schedule, init_params=init,
             save_every=2000, save_path=f"{args.out_dir}/demo_asr_hard.npz")
         save_npz(f"{args.out_dir}/demo_asr_hard.npz", params)
         for label, snr in (("clean", None), ("snr10", (10.0, 10.0)),
-                           ("snr5", (5.0, 5.0))):
+                           ("snr5", (5.0, 5.0)), ("snr0", (0.0, 0.0))):
             corpus = dict(demo_mod.HARD_CORPUS)
             corpus["clean_prob"] = 0.0
             corpus["snr_db_range"] = snr
@@ -225,24 +245,47 @@ def main() -> None:
             logger.info("asr_hard WER[%s]=%.3f  (e.g. ref=%r hyp=%r)",
                         label, wer, pairs[0][0], pairs[0][1])
 
+    # Off-rate tags (fast: excited/panicked at 1.15-1.3x; slow:
+    # relaxed/serious/calm/sad at 0.85-0.9x) are where the roundtrip
+    # failures have lived — r4's fast-only weighting fixed
+    # excited/panicked but traded in a 'relaxed' failure (the gate was
+    # then loosened to 4/5 — VERDICT r4 weak-1). This rebalance weights
+    # BOTH rate directions symmetrically and trains longer instead of
+    # chasing one tag at a time.
+    TTS_EMOTION_WEIGHTS = {
+        "excited": 2.0, "panicked": 2.2, "relaxed": 1.8, "serious": 1.5,
+        "calm": 1.5, "sad": 1.4, "angry": 1.4, "whispering": 1.3,
+        "joyful": 1.2, "shouting": 1.2,
+    }
+
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(
             steps=args.tts_steps, batch=args.batch,
             pool_refresh_every=1200,
-            # fast-rate tags render chars at ~5 mel hops and were the only
-            # emotion-roundtrip failures (r4: 'excited'/'panicked' corrupt
-            # the last word) — give them more coverage per step; mild
-            # weights on the remaining non-neutral tags keep the first
-            # rebalance from starving them (the 2.0/2.5-only weighting
-            # traded an 'excited' failure for a 'relaxed' one)
-            emotion_weights={"excited": 2.0, "panicked": 2.2, "angry": 1.5,
-                             "relaxed": 1.4, "sad": 1.3, "calm": 1.2,
-                             "serious": 1.2, "whispering": 1.2})
+            emotion_weights=TTS_EMOTION_WEIGHTS,
+            save_every=2000, save_path=f"{args.out_dir}/demo_tts.npz")
         logger.info("tts final loss=%.4f", hist[-1])
         save_npz(f"{args.out_dir}/demo_tts.npz", params)
         # speaker encoder is deterministic (seed 42) — re-save for the zoo
         spk_params, _ = demo_mod.demo_speaker_vectors()
         save_npz(f"{args.out_dir}/demo_speaker.npz", spk_params)
+
+    if "tts_hard" in what:
+        # Hard-corpus TTS (VERDICT r4 task 1): 256-word vocabulary, up to
+        # 5-word prompts, full emotion set, 4 serving voices. With pool
+        # refresh the text distribution is effectively unlimited; the
+        # decode half of the codec stops being a toy-domain demo.
+        from janus_tpu.train.synthetic_task import HARD_WORDS
+
+        params, cfg, tok, hist = demo_mod.train_demo_tts(
+            steps=args.hard_tts_steps, batch=args.batch,
+            cfg=demo_mod.hard_tts_config(),
+            corpus=dict(vocab=HARD_WORDS, min_words=1, max_words=5),
+            pool_n=768, pool_refresh_every=800,
+            emotion_weights=TTS_EMOTION_WEIGHTS,
+            save_every=2000, save_path=f"{args.out_dir}/demo_tts_hard.npz")
+        logger.info("tts_hard final loss=%.4f", hist[-1])
+        save_npz(f"{args.out_dir}/demo_tts_hard.npz", params)
 
     if "vocoder" in what:
         params, vcfg, hist = train_vocoder(args.voc_steps, max(args.batch // 2, 4))
