@@ -14,7 +14,8 @@ from typing import Any, Dict, Optional
 
 from janus_tpu.common.config import ASRConfig, JanusConfig, TTSConfig, VocoderConfig
 
-__all__ = ["ModelBundle", "load_demo", "demo_available", "REPO_ROOT"]
+__all__ = ["ModelBundle", "load_demo", "demo_available",
+           "load_demo_hard", "hard_available", "REPO_ROOT"]
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CKPT_DIR = os.path.join(REPO_ROOT, "checkpoints")
@@ -75,4 +76,49 @@ def load_demo(ckpt_dir: str = _CKPT_DIR,
         bundle.default_speaker_vec = speaker_embed(
             bundle.speaker_params, jnp.asarray(ref), n_mels=cfg.tts.n_mels
         )
+    return bundle
+
+
+def hard_available(ckpt_dir: str = _CKPT_DIR) -> bool:
+    return (os.path.exists(os.path.join(ckpt_dir, "demo_asr_hard.npz"))
+            and os.path.exists(os.path.join(ckpt_dir, "demo_tts_hard.npz")))
+
+
+def load_demo_hard(ckpt_dir: str = _CKPT_DIR,
+                   base: Optional[JanusConfig] = None) -> ModelBundle:
+    """The hard-corpus bundle: 256-word/16-speaker ASR + hard-corpus TTS
+    (sharing the demo vocoder — it is trained on arbitrary character
+    strings, not corpus words). This is the decode-side generality stand-in
+    for the reference's arbitrary-text cloud TTS
+    (reference: backend/services/synthesizer.py:106-207)."""
+    from janus_tpu.eval.roundtrip import load_npz_params
+    from janus_tpu.train.demo import (
+        demo_speaker_vectors,
+        demo_vocoder_config,
+        hard_asr_config,
+        hard_tts_config,
+    )
+
+    cfg = base if base is not None else JanusConfig.from_env()
+    cfg = cfg.override(**{f"asr.{k}": v for k, v in hard_asr_config().__dict__.items()})
+    cfg = cfg.override(**{f"tts.{k}": v for k, v in hard_tts_config().__dict__.items()})
+    cfg = cfg.override(
+        **{f"vocoder.{k}": v for k, v in demo_vocoder_config().__dict__.items()}
+    )
+
+    bundle = ModelBundle(config=cfg)
+    asr_path = os.path.join(ckpt_dir, "demo_asr_hard.npz")
+    if os.path.exists(asr_path):
+        bundle.asr_params = load_npz_params(asr_path)
+    tts_path = os.path.join(ckpt_dir, "demo_tts_hard.npz")
+    if os.path.exists(tts_path):
+        bundle.tts_params = load_npz_params(tts_path)
+    voc_path = os.path.join(ckpt_dir, "demo_vocoder.npz")
+    if os.path.exists(voc_path):
+        bundle.vocoder_params = load_npz_params(voc_path)
+    # speaker encoder is deterministic (seed 42) but d_out follows the TTS
+    # width, so the hard bundle derives its own default voice
+    spk_params, vecs = demo_speaker_vectors(cfg.tts)
+    bundle.speaker_params = spk_params
+    bundle.default_speaker_vec = vecs[0]
     return bundle

@@ -168,6 +168,46 @@ def test_tts_train_step():
     assert m2["loss"] < m1["loss"]
 
 
+def test_sharded_serving_synthesis_matches_unsharded():
+    """The decode stack sharded IN SERVING (Synthesizer(mesh=tp)) must
+    produce the same audio as the unsharded synthesizer — the tp layout
+    the encode path already had (VERDICT r4 task 4)."""
+    from janus_tpu.common.config import JanusConfig
+    from janus_tpu.common.protocol import JanusPacket
+    from janus_tpu.models import vocoder as voc_mod
+    from janus_tpu.runtime.synthesizer import Synthesizer
+
+    cfg = JanusConfig().override(**{
+        "tts.d_model": 64, "tts.layers": 2, "tts.num_heads": 4,
+        "tts.n_mels": 16, "tts.max_text_tokens": 16, "tts.max_mel_frames": 16,
+        "vocoder.n_fft": 64, "vocoder.hop_length": 16, "vocoder.d_model": 32,
+        "vocoder.layers": 2, "vocoder.sample_rate": 16_000,
+    })
+    tts_params = tts_mod.init_tts(0, cfg.tts, text_vocab=261)
+    # pin the stop head hard negative: random-weight stop logits sit near
+    # the 0.5 threshold, where a low-order cross-device fp difference
+    # could fork the generation length (we are testing numerics, not the
+    # stop policy)
+    tts_params["stop_head"]["b"] = jnp.full_like(
+        tts_params["stop_head"]["b"], -5.0)
+    voc_params = voc_mod.init_vocoder(1, cfg.vocoder, n_mels=cfg.tts.n_mels)
+
+    mesh = build_mesh(MeshConfig(data=1, model=2, seq=1))
+    ref = Synthesizer(cfg, tts_params=tts_params, vocoder_params=voc_params)
+    tp = Synthesizer(cfg, tts_params=tts_params, vocoder_params=voc_params,
+                     mesh=mesh)
+    flat = dict(flatten_with_paths(tp.tts_params))
+    assert flat["blocks/0/mlp/fc1/w"].sharding.spec == P(None, "model")
+
+    pkt = JanusPacket(text="hello there", prosody={"energy": "Loud",
+                                                   "pitch": "High"},
+                      timestamp=0.0)
+    a = np.frombuffer(ref.synthesize(pkt), dtype=np.int16)
+    b = np.frombuffer(tp.synthesize(pkt), dtype=np.int16)
+    assert a.shape == b.shape and len(a) > 0
+    np.testing.assert_allclose(a, b, atol=1)  # ≤1 int16 LSB of fp noise
+
+
 def test_sequence_parallel_encoder_matches_dense():
     """encode_audio with a seq mesh (ring attention + GSPMD conv halos)
     must match the single-device encoder."""
