@@ -17,6 +17,10 @@ results before raising, so a tunnel hiccup never loses a whole section):
   32-session serving-loop macro comparison
 - flagship (large-v3, 635M encoder, scan-over-layers) encode RTF with
   weight-only int8 AND full int8x8 (dynamic activation quant) variants
+- flagship decode (Fish-Audio-class ~0.6B TTS + vocoder): generation RTF
+  at batch 8 and 1, prefill/AR-step/vocoder stage split, and streaming
+  first-audio turnaround (reference walkie-talkie turnaround: 2.8-3.0 s
+  against the cloud TTS)
 - MFU / utilization: analytic FLOPs + HBM bytes of each compiled encode
   program (``Compiled.cost_analysis``) divided by measured step time,
   against TPU v5e peaks, plus a per-stage on-chip breakdown at flagship
@@ -306,6 +310,76 @@ def main() -> None:
                 continue
             scaling[str(b)] = round(b * sess_seconds / dt, 1)  # audio-s/s
             log(f"batch {b}: {dt*1e3:.1f} ms -> {scaling[str(b)]} audio-s/s")
+        # b=32 vs b=64 stage breakdown (VERDICT r4 task 6): the driver's
+        # r4 artifact showed zero marginal throughput from b=32 -> 64
+        # (per-batch time exactly doubling). Decompose one encode_batch
+        # call into host assembly / host->device transfer / device program
+        # at both batch points to name the saturating resource.
+        def sessions_stage_profile():
+            import jax as _jax
+
+            bucket = int(48_000 * sess_seconds)
+            n16 = enc.mel_frame_budget(bucket)
+            stages: dict = {}
+            for b in (32, 64):
+                row: dict = {}
+                ph = [voiced_phrase(f0=150.0 + 3 * i, seconds=sess_seconds,
+                                    amp=0.12, seed=i) for i in range(b)]
+
+                def assemble():
+                    batch = np.zeros((b, bucket), dtype=np.float32)
+                    nv = np.zeros((b,), dtype=np.int32)
+                    for i, p in enumerate(ph):
+                        batch[i, : len(p)] = p[:bucket]
+                        nv[i] = min(len(p), bucket)
+                    if cfg.runtime.encode_transfer_int16:
+                        batch = np.clip(np.round(batch * 32768.0),
+                                        -32768, 32767).astype(np.int16)
+                    return batch, nv
+
+                t0 = time.perf_counter()
+                batch_np, nv_np = assemble()
+                row["host_assemble_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3, 1)
+
+                def put_once():
+                    t0 = time.perf_counter()
+                    x = _jax.device_put(batch_np)
+                    x.block_until_ready()
+                    return time.perf_counter() - t0, x
+                _retry(lambda: put_once(), label=f"stage h2d b={b}")
+                row["h2d_transfer_ms"] = round(min(
+                    put_once()[0] for _ in range(3)) * 1e3, 1)
+                row["h2d_bytes_mb"] = round(batch_np.nbytes / 1e6, 1)
+
+                # device program alone: pre-stage k fresh input copies
+                # (the jit donates its audio buffers), then chain k calls
+                # with one host fetch
+                k = 3
+                def prog_group():
+                    staged = [(_jax.device_put(batch_np),
+                               _jax.device_put(nv_np)) for _ in range(k)]
+                    for x, _ in staged:
+                        x.block_until_ready()
+                    t0 = time.perf_counter()
+                    outs = [enc._encode_jit(enc.params, x, nv,
+                                            n_16k_frames=n16)
+                            for x, nv in staged]
+                    for o in outs:
+                        np.asarray(o[0])  # host fetch = hard sync
+                    return (time.perf_counter() - t0) / k
+                row["device_program_ms"] = round(min(
+                    _retry(prog_group, label=f"stage prog b={b}")
+                    for _ in range(2)) * 1e3, 1)
+                stages[str(b)] = row
+                log(f"sessions stage b={b}: {row}")
+            result["sessions_stage_ms"] = stages
+
+        try:
+            sessions_stage_profile()
+        except Exception as e:
+            log(f"sessions stage profile failed (non-fatal): {e}")
+
         if errors:
             result["session_scaling_errors"] = errors
             raise RuntimeError(f"session batch points failed: {errors}")
@@ -580,11 +654,150 @@ def main() -> None:
             result[f"{key}_vs_bf16"] = round(best / qbest, 3)
             del fq, fqenc
 
+    # -- flagship decode: Fish-Audio-class TTS (~0.6B) + vocoder -----------
+    def bench_flagship_tts(result):
+        import dataclasses
+
+        from janus_tpu.common.config import TTSConfig
+        from janus_tpu.models import tts as tts_mod
+        from janus_tpu.models import vocoder as voc_mod
+        from janus_tpu.models.params import cast_floating, param_count
+        from janus_tpu.models.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        ftts = dataclasses.replace(JanusConfig(), tts=TTSConfig.flagship())
+        tcfg, vcfg = ftts.tts, ftts.vocoder
+        tts_params = cast_floating(
+            tts_mod.init_tts(0, tcfg, text_vocab=tok.vocab_size), jnp.bfloat16)
+        # host prestack: trace-time stacking copies ~1.2 GB of weights
+        # inside every dispatched program (see tts_mod.prestack_tts)
+        tts_params = tts_mod.prestack_tts(tts_params)
+        voc_params = cast_floating(
+            voc_mod.init_vocoder(1, vcfg, n_mels=tcfg.n_mels), jnp.bfloat16)
+        result["flagship_tts_params_m"] = round(param_count(tts_params) / 1e6, 1)
+
+        max_groups = 256  # 512 mel frames ≈ 5.46 s at 24 kHz hop 256
+        lane_seconds = (max_groups * tcfg.reduction * vcfg.hop_length
+                        / vcfg.sample_rate)
+
+        @jax.jit
+        def decode(tp, vp, text_ids, emo):
+            mel, _ = tts_mod.tts_generate(
+                tp, tcfg, text_ids, emo, max_groups=max_groups,
+                text_vocab=tok.vocab_size, stop_threshold=2.0)  # full budget
+            return voc_mod.vocoder_waveform(vp, vcfg, mel)
+
+        for b in (8, 1):
+            text = jnp.zeros((b, 32), dtype=jnp.int32)
+            emo = jnp.zeros((b,), dtype=jnp.int32)
+            log(f"flagship tts b={b}: compiling...")
+            t0 = time.time()
+            _retry(lambda: decode(tts_params, voc_params, text, emo)
+                   .block_until_ready(), label=f"ftts b={b} warmup")
+            log(f"flagship tts b={b} warmup {time.time()-t0:.1f}s")
+            k = 2
+            times = []
+            for r in range(3):
+                def group():
+                    t0 = time.perf_counter()
+                    out = None
+                    for _ in range(k):
+                        out = decode(tts_params, voc_params, text, emo)
+                    _ = float(jnp.asarray(out)[0, 0])  # hard sync
+                    return (time.perf_counter() - t0) / k
+                dt = _retry(group, label=f"ftts b={b} group{r}")
+                times.append(dt)
+                log(f"flagship tts b={b} group {r}: {dt*1e3:.1f} ms "
+                    f"rtf/chip={dt/(b*lane_seconds):.5f}")
+            best = min(times)
+            key = ("flagship_tts_rtf_per_chip" if b == 8
+                   else "flagship_tts_rtf_b1")
+            result[key] = round(best / (b * lane_seconds), 6)
+            result[f"{key}_ms_stats"] = {
+                "best_ms": round(best * 1e3, 1),
+                "mean_ms": round(float(np.mean(times)) * 1e3, 1),
+                "std_ms": round(float(np.std(times)) * 1e3, 1),
+            }
+        result["flagship_tts_vs_target"] = round(
+            0.1 / result["flagship_tts_rtf_per_chip"], 3)
+
+        # stage breakdown at b=8: prompt prefill / AR steps / vocoder
+        def stage_profile():
+            b = 8
+            text = jnp.zeros((b, 32), dtype=jnp.int32)
+            emo = jnp.zeros((b,), dtype=jnp.int32)
+
+            def timed(fn, fetch, k=3):
+                _retry(lambda: fetch(fn()), label="ftts stage warm")
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = None
+                    for _ in range(k):
+                        out = fn()
+                    fetch(out)
+                    best = min(best, (time.perf_counter() - t0) / k)
+                return best
+
+            prefill = jax.jit(lambda tp: tts_mod.tts_prefill(
+                tp, tcfg, text, emo, max_groups=max_groups,
+                text_vocab=tok.vocab_size)[0])
+            t_pre = timed(lambda: prefill(tts_params),
+                          lambda o: float(jnp.asarray(o)[0, 0]))
+            gen = jax.jit(lambda tp: tts_mod.tts_generate(
+                tp, tcfg, text, emo, max_groups=max_groups,
+                text_vocab=tok.vocab_size, stop_threshold=2.0)[0])
+            t_gen = timed(lambda: gen(tts_params),
+                          lambda o: float(jnp.asarray(o)[0, 0, 0]), k=2)
+            mel = gen(tts_params)
+            voc = jax.jit(lambda vp, m: voc_mod.vocoder_waveform(vp, vcfg, m))
+            t_voc = timed(lambda: voc(voc_params, mel),
+                          lambda o: float(jnp.asarray(o)[0, 0]))
+            result["flagship_tts_stage_ms"] = {
+                "prefill": round(t_pre * 1e3, 1),
+                "ar_decode": round((t_gen - t_pre) * 1e3, 1),
+                "ar_step_us": round((t_gen - t_pre) / (max_groups - 1) * 1e6, 1),
+                "vocoder": round(t_voc * 1e3, 1),
+            }
+            log(f"flagship tts stages: {result['flagship_tts_stage_ms']}")
+
+        try:
+            stage_profile()
+        except Exception as e:
+            log(f"flagship tts stage profile failed (non-fatal): {e}")
+
+        # streaming first-audio turnaround (the walkie-talkie number the
+        # reference put at 2.8-3.0 s against its cloud TTS)
+        from janus_tpu.runtime.streaming_tts import StreamingSynthesizer
+
+        scfg = ftts.override(**{"tts.max_mel_frames": 2 * max_groups})
+        stream_params = {**tts_params, "stop_head": {
+            **tts_params["stop_head"],
+            # random-weight stop logits sit at ~0.5; pin hard negative so
+            # the stream runs the full budget deterministically
+            "b": jnp.full_like(tts_params["stop_head"]["b"], -5.0)}}
+        streamer = StreamingSynthesizer(
+            scfg, tts_params=stream_params, vocoder_params=voc_params,
+            chunk_groups=16)
+        turn_text = "status report follows all clear"
+        log("flagship tts streaming: compiling...")
+        _retry(lambda: list(streamer.stream(turn_text)), label="ftts stream")
+        first_s, total_s, n48 = min(
+            (_retry(lambda: streamer.turnaround(turn_text),
+                    label="ftts turnaround") for _ in range(2)),
+            key=lambda t: t[0])
+        result["flagship_tts_first_audio_s"] = round(first_s, 4)
+        result["flagship_tts_stream_total_s"] = round(total_s, 4)
+        result["flagship_tts_stream_audio_s"] = round(n48 / 48_000, 3)
+        log(f"flagship tts first audio {first_s:.3f}s "
+            f"(total {total_s:.2f}s for {n48/48_000:.2f}s audio)")
+
     _section(result, "decode", bench_decode)
     _section(result, "int8", bench_int8)
     _section(result, "sessions", bench_sessions)
     _section(result, "overlap", bench_overlap)
     _section(result, "flagship", bench_flagship)
+    _section(result, "flagship_tts", bench_flagship_tts)
 
     print(json.dumps(result), flush=True)
 

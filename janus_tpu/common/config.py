@@ -196,8 +196,12 @@ class TTSConfig:
 
     @classmethod
     def flagship(cls) -> "TTSConfig":
-        """Fish-Audio-class acoustic model (~300M params)."""
-        return cls(d_model=1024, layers=24, num_heads=16, scan_layers=True)
+        """Fish-Audio-class acoustic model (~0.6B params — the serving
+        geometry bench.py's flagship-decode section measures; VERDICT r4
+        task 3). ``scan_layers``: one compiled block body, same rule as
+        the large-v3 encoder (the unrolled 30-layer HLO would overwhelm
+        the compile tunnel)."""
+        return cls(d_model=1280, layers=30, num_heads=20, scan_layers=True)
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,7 @@ __all__ = [
     "init_tts",
     "tts_forward",
     "tts_generate",
+    "prestack_tts",
     "TTSState",
     "audio_pos_base",
     "text_bucket",
@@ -165,6 +166,16 @@ def _prestack(params: Params) -> Params:
     if isinstance(params["blocks"], dict):
         return params
     return {**params, "blocks": _stack_blocks(params["blocks"])}
+
+
+def prestack_tts(params: Params) -> Params:
+    """Host-side layer stacking for ``scan_layers`` configs (idempotent).
+
+    Call once at load time (as the serving synthesizers do): left to trace
+    time, the stack is re-materialized — a full weight copy — inside every
+    dispatched program, which at flagship scale (~0.6B params) costs ~GBs
+    per call (the same lesson as ``asr.prepare_decode_params``)."""
+    return _prestack(params)
 
 
 def _make_state(cfg: TTSConfig, batch: int, cache_len: int,

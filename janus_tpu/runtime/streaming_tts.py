@@ -70,6 +70,10 @@ class StreamingSynthesizer:
                                else voc_mod.init_vocoder(
                                    rng_seed + 1, self.cfg.vocoder,
                                    n_mels=self.cfg.tts.n_mels))
+        if self.cfg.tts.scan_layers:
+            # host-side layer stack (idempotent): trace-time stacking would
+            # copy the weights inside every dispatched chunk program
+            self.tts_params = tts_mod.prestack_tts(self.tts_params)
         self.chunk_groups = int(chunk_groups)
         self.stop_threshold = float(stop_threshold)
         vcfg = self.cfg.vocoder

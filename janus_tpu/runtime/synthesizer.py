@@ -101,6 +101,12 @@ class Synthesizer:
                                            TTS_PARTITION_RULES)
             self.vocoder_params = shard_params(self.vocoder_params, mesh,
                                                VOCODER_PARTITION_RULES)
+        elif self.cfg.tts.scan_layers:
+            # stack the layer axis ONCE on the host — trace-time stacking
+            # copies the full weight set inside every dispatched program
+            # (with a mesh the per-layer layout must survive for the
+            # partition rules; GSPMD handles the stacking instead)
+            self.tts_params = tts_mod.prestack_tts(self.tts_params)
 
         self._default_speaker_vec = (
             np.asarray(default_speaker_vec, dtype=np.float32)
