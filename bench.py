@@ -614,6 +614,13 @@ def main() -> None:
             stages["greedy_decode_bf16kv"] = timed(
                 make_dec(True, False), (fenc.params, enc_out, prompt),
                 lambda o: int(jnp.asarray(o)[0, 0]), k=3)
+            # int8 cross-KV through the FUSED Pallas kernel (r5): K/V
+            # stream from HBM as int8, dequant in VMEM — the ablation that
+            # decides whether int8 KV finally pays (ROOFLINE §1 predicted
+            # the XLA dequant path's loss and named this kernel the fix)
+            stages["greedy_decode_int8kv_kernel"] = timed(
+                make_dec(True, True), (fenc.params, enc_out, prompt),
+                lambda o: int(jnp.asarray(o)[0, 0]), k=3)
             # r3 path: unfused q/k/v, bf16 KV, per-call trace-time prestack.
             # fenc.params is already fused (no q/k/v keys), so time a fresh
             # unprepared tree — weight VALUES don't affect step time.

@@ -353,7 +353,7 @@ def _decoder_layer(
     cross_k: jax.Array, cross_v: jax.Array, t_new: int,
 ) -> Tuple[jax.Array, KVCache]:
     """One decoder block: cached self-attn → cross-attn → MLP."""
-    from janus_tpu.ops.quant import dequant_kv
+    from janus_tpu.ops.cross_attn import cross_attention_kv
 
     # self-attention with cache append (fused qkv when prepared —
     # see prepare_decode_params)
@@ -373,15 +373,16 @@ def _decoder_layer(
         p["out"]["w"], p["out"]["b"],
     )
 
-    # cross-attention over the (static) encoder sequence; int8 K/V
-    # dequantize at the matmul operand (dequant_kv is identity on
-    # plain arrays)
+    # cross-attention over the (static) encoder sequence. int8 K/V run
+    # the fused Pallas kernel on TPU (K/V stream from HBM as int8 and
+    # dequantize in VMEM — the XLA dequant path materialized a dense bf16
+    # copy per step and measured SLOWER than bf16, docs/ROOFLINE.md §1);
+    # dense K/V take the plain XLA path.
     h = layer_norm(x, **blk["cross_ln"])
     pc = blk["cross"]
     qc = split_heads(linear(h, pc["q"]["w"], pc["q"]["b"]), cfg.num_heads)
     x = x + linear(
-        merge_heads(attend(qc, dequant_kv(cross_k, x.dtype),
-                           dequant_kv(cross_v, x.dtype))),
+        merge_heads(cross_attention_kv(qc, cross_k, cross_v)),
         pc["out"]["w"], pc["out"]["b"],
     )
 
