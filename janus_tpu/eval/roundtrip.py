@@ -152,7 +152,10 @@ def evaluate_roundtrip(
     # Averaged over several utterances: single-utterance copy-SNR varies
     # ~±4 dB with text draw, so one sample is not a stable quality gate.
     # All utterances are zero-padded to one length and vocoded as a batch
-    # (one compiled program regardless of text lengths).
+    # (one compiled program regardless of text lengths). Each waveform
+    # keeps ≥ n_fft/hop frames of its zero continuation inside the batch
+    # (centered-analysis end context — see quick_copy_snr; scoring stays
+    # over the signal's own samples).
     snr_texts = texts[: min(4, len(texts))]
     wavs_v: List[np.ndarray] = []
     for i, t in enumerate(snr_texts):
@@ -166,7 +169,8 @@ def evaluate_roundtrip(
             w = w16
         wavs_v.append(w.astype(np.float32))
     hop = synth_cfg.vocoder.hop_length
-    pad_len = -(-max(len(w) for w in wavs_v) // hop) * hop
+    tail = (synth_cfg.vocoder.n_fft // hop) * hop
+    pad_len = -(-(max(len(w) for w in wavs_v) + tail) // hop) * hop
     batch = np.zeros((len(wavs_v), pad_len), np.float32)
     for i, w in enumerate(wavs_v):
         batch[i, : len(w)] = w

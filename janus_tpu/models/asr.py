@@ -307,11 +307,14 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
                       scan_layers: bool = False,
                       cross_kv_int8: bool = False) -> DecodeState:
     """``cross_kv_int8`` stores the per-layer cross-attention K/V int8 with
-    per-position scales (:class:`janus_tpu.ops.quant.QuantKV`): the decode
-    loop re-reads them every token, so this halves the dominant non-weight
-    HBM stream at flagship scale (VERDICT r3 task 2; reference analog:
+    per-position scales in the transposed kernel layout
+    (:class:`janus_tpu.ops.quant.QuantKVT`): the decode loop re-reads them
+    every token, so this halves the dominant non-weight HBM stream at
+    flagship scale, and the fused Pallas kernel
+    (:mod:`janus_tpu.ops.cross_attn`) reads the int8 directly from HBM —
+    no dense dequantized copy (VERDICT r4 task 5; reference analog:
     CTranslate2 int8 decode, backend/services/transcriber.py:26)."""
-    from janus_tpu.ops.quant import quantize_kv
+    from janus_tpu.ops.quant import quantize_kv_t
 
     batch_shape = enc.shape[:-2]
     if max_len is None:
@@ -335,7 +338,7 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
 
         ck, cv = jax.vmap(per_layer_kv)(cross)
         if cross_kv_int8:
-            ck, cv = quantize_kv(ck), quantize_kv(cv)
+            ck, cv = quantize_kv_t(ck), quantize_kv_t(cv)
         return DecodeState(self_caches=cache, cross_k=ck, cross_v=cv)
     caches = tuple(
         KVCache.create(batch_shape, cfg.num_heads, max_len, head_dim, dtype=dtype)
@@ -343,8 +346,8 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
     )
     ck, cv = _precompute_cross_kv(params, cfg, enc)
     if cross_kv_int8:
-        ck = tuple(quantize_kv(k) for k in ck)
-        cv = tuple(quantize_kv(v) for v in cv)
+        ck = tuple(quantize_kv_t(k) for k in ck)
+        cv = tuple(quantize_kv_t(v) for v in cv)
     return DecodeState(self_caches=caches, cross_k=ck, cross_v=cv)
 
 

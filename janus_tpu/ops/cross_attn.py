@@ -3,7 +3,7 @@
 The flagship greedy-decode loop re-reads every layer's cross-attention
 K/V each token — at large-v3 scale 0.65 GB/step bf16, the dominant
 non-weight HBM stream (docs/ROOFLINE.md §1). Storing K/V int8
-(:class:`janus_tpu.ops.quant.QuantKV`) halves that read, but the XLA
+(:class:`janus_tpu.ops.quant.QuantKVT`) halves that read, but the XLA
 dequant path measured ~20 % SLOWER than bf16: the convert+scale does not
 fuse into the attention matmul operand on this backend, so a bf16 copy of
 the whole K/V materializes in HBM every step (r4 finding).
@@ -14,9 +14,14 @@ program per (batch·head). The per-position scales fold into the score
 columns (for K) and the probability columns (for V), so no dense bf16
 copy of K/V ever exists anywhere:
 
-    s[tq, T]  = (q · k_int8ᵀ) ⊙ k_scale[T]
+    s[tq, T]  = (q · k_int8[Dh, T]) ⊙ k_scale[T]
     p         = softmax_fp32(s · Dh^-1/2)
-    o[tq, Dh] = (p ⊙ v_scale[T]) · v_int8
+    o[tq, Dh] = (p ⊙ v_scale[T]) ·_T v_int8[Dh, T]
+
+K/V are stored head-dim-major (``[..., Dh, T]``, built once at
+decode-state init): int8 VMEM tiles are (32, 128)-granular, so the long
+encoder-time axis must ride the lane dimension, and both matmuls contract
+against the transposed layout without any in-loop transpose.
 
 Numerically identical (fp32 associativity aside) to
 ``attend(q, dequant_kv(k), dequant_kv(v))``; parity is asserted in
@@ -35,19 +40,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from janus_tpu.ops.attention import attend
-from janus_tpu.ops.quant import QuantKV, dequant_kv
+from janus_tpu.ops.quant import QuantKV, QuantKVT, dequant_kv
 
 __all__ = ["cross_attention_kv"]
+
+_LANE = 128
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *, scale: float,
             t_valid: int):
     q = q_ref[0].astype(jnp.float32)            # [tq, Dh]
-    k = kq_ref[0].astype(jnp.float32)           # [T, Dh] int8 → f32 in VMEM
+    kt = kq_ref[0].astype(jnp.float32)          # [Dh, T] int8 → f32 in VMEM
     ks = ks_ref[0].astype(jnp.float32)          # [1, T] per-position scales
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                    # [tq, T]
     s = s * ks                                   # fold K dequant into columns
 
@@ -59,15 +66,12 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *, scale: float,
     l = jnp.sum(p, axis=-1, keepdims=True)
 
     vs = vs_ref[0].astype(jnp.float32)           # [1, T]
-    v = vq_ref[0].astype(jnp.float32)            # [T, Dh]
+    vt = vq_ref[0].astype(jnp.float32)           # [Dh, T]
     o = jax.lax.dot_general(
-        p * vs, v, (((1,), (0,)), ((), ())),
+        p * vs, vt, (((1,), (1,)), ((), ())),    # contract over T
         preferred_element_type=jnp.float32,
-    )
+    )                                            # [tq, Dh]
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
-_LANE = 128
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -81,16 +85,16 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _cross_bh(q, kq, ks, vq, vs, interpret: bool):
-    """``q[BH, tq, Dh]``, int8 ``kq/vq[BH, T, Dh]``, scales ``ks/vs[BH, T]``."""
+    """``q[BH, tq, Dh]``, int8 ``kq/vq[BH, Dh, T]``, scales ``ks/vs[BH, T]``."""
     bh, tq, dh = q.shape
-    t = kq.shape[1]
+    t = kq.shape[-1]
     scale = dh**-0.5
 
-    kq = _pad_to(kq, 1, _LANE)
-    vq = _pad_to(vq, 1, _LANE)
+    kq = _pad_to(kq, 2, _LANE)
+    vq = _pad_to(vq, 2, _LANE)
     ks = _pad_to(ks, 1, _LANE)[:, None, :]       # [BH, 1, Tp]
     vs = _pad_to(vs, 1, _LANE)[:, None, :]
-    tp = kq.shape[1]
+    tp = kq.shape[-1]
 
     kernel = functools.partial(_kernel, scale=scale, t_valid=t)
     return pl.pallas_call(
@@ -98,9 +102,9 @@ def _cross_bh(q, kq, ks, vq, vs, interpret: bool):
         grid=(bh,),
         in_specs=[
             pl.BlockSpec((1, tq, dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, dh, tp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, dh, tp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tq, dh), lambda i: (i, 0, 0)),
@@ -112,24 +116,28 @@ def _cross_bh(q, kq, ks, vq, vs, interpret: bool):
 def cross_attention_kv(q: jax.Array, k, v, force: bool = False) -> jax.Array:
     """Cross-attention ``[..., H, tq, Dh]`` over (possibly int8) K/V.
 
-    ``k``/``v`` may be :class:`QuantKV` (``q[..., H, T, Dh]`` int8 +
-    ``scale[..., H, T, 1]``) or dense arrays. Dense inputs and off-TPU
-    int8 inputs route to the XLA path; ``force=True`` runs the Pallas
-    kernel in interpreter mode off-TPU (tests).
+    ``k``/``v`` may be :class:`QuantKVT` (``q[..., H, Dh, T]`` int8 +
+    ``scale[..., H, T]`` — the kernel layout), :class:`QuantKV`, or dense
+    ``[..., H, T, Dh]`` arrays. Dense and :class:`QuantKV` inputs and
+    off-TPU int8 inputs route to the XLA path; ``force=True`` runs the
+    Pallas kernel in interpreter mode off-TPU (tests).
     """
-    if not isinstance(k, QuantKV):
+    if not isinstance(k, QuantKVT):
+        if isinstance(k, QuantKV):
+            return attend(q, dequant_kv(k, q.dtype), dequant_kv(v, q.dtype))
         return attend(q, k, v)
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu and not force:
         return attend(q, dequant_kv(k, q.dtype), dequant_kv(v, q.dtype))
 
     *lead, h, tq, dh = q.shape
-    t = k.q.shape[-2]
+    t = k.q.shape[-1]
     bh = int(np.prod(lead)) * h if lead else h
     qf = q.reshape(bh, tq, dh)
-    kqf = k.q.reshape(bh, t, dh)
-    ksf = k.scale.reshape(bh, t)
-    vqf = v.q.reshape(bh, t, dh)
-    vsf = v.scale.reshape(bh, t)
-    out = _cross_bh(qf, kqf, ksf, vqf, vsf, not on_tpu)
+    out = _cross_bh(
+        qf,
+        k.q.reshape(bh, dh, t), k.scale.reshape(bh, t),
+        v.q.reshape(bh, dh, t), v.scale.reshape(bh, t),
+        not on_tpu,
+    )
     return out.reshape(*lead, h, tq, dh)

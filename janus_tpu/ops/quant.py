@@ -30,8 +30,10 @@ __all__ = [
     "QuantizedWeight",
     "DynQuantizedWeight",
     "QuantKV",
+    "QuantKVT",
     "quantize_weight",
     "quantize_kv",
+    "quantize_kv_t",
     "dequant",
     "dequant_kv",
     "linear_int8_dynamic",
@@ -81,6 +83,22 @@ class QuantKV(NamedTuple):
     scale: jax.Array
 
 
+class QuantKVT(NamedTuple):
+    """int8 attention K or V stored head-dim-major: ``q[..., Dh, T]`` with
+    per-position scales ``scale[..., T]``.
+
+    The layout the fused Pallas decode kernel consumes
+    (:func:`janus_tpu.ops.cross_attn.cross_attention_kv`): int8 VMEM tiles
+    are (32, 128)-granular, so the long encoder-time axis must ride the
+    lane dimension — Dh (64) would waste half of every int8 tile. Built
+    ONCE at decode-state init (outside the token while_loop); both score
+    and output matmuls contract against it without any in-loop
+    transpose."""
+
+    q: jax.Array
+    scale: jax.Array
+
+
 def quantize_kv(x: jax.Array) -> QuantKV:
     """Symmetric per-position int8 quantization over the head dim."""
     xf = x.astype(jnp.float32)
@@ -90,11 +108,24 @@ def quantize_kv(x: jax.Array) -> QuantKV:
     return QuantKV(q=q, scale=scale)
 
 
+def quantize_kv_t(x: jax.Array) -> QuantKVT:
+    """Per-position int8 quantization of ``[..., T, Dh]`` into the
+    transposed (kernel) layout ``q[..., Dh, T]``, ``scale[..., T]``."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)            # [..., T]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return QuantKVT(q=jnp.swapaxes(q, -1, -2).astype(jnp.int8), scale=scale)
+
+
 def dequant_kv(x, dtype=jnp.bfloat16) -> jax.Array:
-    """QuantKV -> dense ``dtype``; passes plain arrays through unchanged
-    (so attention code is layout-agnostic)."""
+    """QuantKV/QuantKVT -> dense ``[..., T, Dh]`` in ``dtype``; passes
+    plain arrays through unchanged (so attention code is layout-agnostic)."""
     if isinstance(x, QuantKV):
         return (x.q.astype(jnp.float32) * x.scale).astype(dtype)
+    if isinstance(x, QuantKVT):
+        dense = x.q.astype(jnp.float32) * x.scale[..., None, :]
+        return jnp.swapaxes(dense, -1, -2).astype(dtype)
     return x
 
 

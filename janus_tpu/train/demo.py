@@ -314,8 +314,9 @@ def demo_vocoder_config():
 
     # trained on the 16 kHz tone-language domain directly (hop 160 matches
     # the mel frontend, so TTS mel output feeds it with no resampling);
-    # d192/L6 sized for >= 18 dB copy-synthesis SNR (d128/L4 plateaued ~16)
-    return VocoderConfig(n_fft=640, hop_length=160, d_model=192, layers=6,
+    # d256/L8 sized for >= 23 dB copy-synthesis SNR (d192/L6 plateaued
+    # ~20.9 mean / 19.3 min at 8k steps — VERDICT r4 weak-6)
+    return VocoderConfig(n_fft=640, hop_length=160, d_model=256, layers=8,
                          sample_rate=16_000)
 
 

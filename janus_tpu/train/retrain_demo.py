@@ -122,7 +122,14 @@ def train_vocoder(steps: int, batch: int, seed: int = 0, log_every: int = 200):
 
 
 def quick_copy_snr(voc_params, vcfg, n_mels: int = 80) -> float:
-    """The eval/roundtrip copy-synthesis SNR, standalone."""
+    """The eval/roundtrip copy-synthesis SNR, standalone.
+
+    The waveform is featurized with its zero continuation (``n_fft/hop``
+    trailing silence frames, the centered-analysis convention): without
+    them the end-flush must extrapolate past the final full-amplitude
+    frame and the last hop dominates the error (~15 dB ceilings on short
+    utterances — r5 finding; the serving TTS generates its own silence
+    tail for the same reason, see synthetic_task.mel_targets_for)."""
     import jax.numpy as jnp
 
     from janus_tpu.eval.metrics import snr_db
@@ -131,12 +138,14 @@ def quick_copy_snr(voc_params, vcfg, n_mels: int = 80) -> float:
     from janus_tpu.train.synthetic_task import render_text
 
     wav = render_text("tiko ma selo", vcfg.sample_rate, seed=0)
-    mel = log_mel_spectrogram(jnp.asarray(wav), vcfg.sample_rate, 400,
+    tail = (vcfg.n_fft // vcfg.hop_length) * vcfg.hop_length
+    wavp = np.pad(wav, (0, tail))
+    mel = log_mel_spectrogram(jnp.asarray(wavp), vcfg.sample_rate, 400,
                               vcfg.hop_length, n_mels)
     # jitted: eager complex ops are UNIMPLEMENTED on some remote backends
-    fn = jax.jit(lambda p, m: vocoder_waveform(p, vcfg, m, length=len(wav)))
+    fn = jax.jit(lambda p, m: vocoder_waveform(p, vcfg, m, length=len(wavp)))
     recon = np.asarray(fn(voc_params, mel))
-    return snr_db(wav, recon)
+    return snr_db(wav, recon[: len(wav)])
 
 
 def save_npz(path: str, params) -> None:

@@ -287,6 +287,7 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
                     n_fft: int = 400, hop: int = 160,
                     speakers: Optional[List[int]] = None,
                     emotions: Optional[List[str]] = None,
+                    tail_silence_frames: int = 4,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """TTS training targets: (mel_groups[B, S, r*n_mels], mask[B, S]).
 
@@ -295,7 +296,16 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
     waveform length, and with rate-scaled emotion renderings nearly every
     utterance has a unique length (hundreds of remote-tunnel compiles —
     the round-3 stall). Masks use each render's own frame count, so the
-    padding never leaks into the loss."""
+    padding never leaks into the loss.
+
+    ``tail_silence_frames`` extends each target by that many REAL silence
+    frames before the stop flag (default 4 = vocoder n_fft/hop): the
+    iSTFT head reconstructs a frame's samples from windows reaching
+    ``n_fft/hop`` frames ahead, so a sequence that ends at full amplitude
+    forces the end-flush to extrapolate — measured 15-20 dB copy-SNR tails
+    (r5 finding: the last hop of every utterance sat at ~2 dB while the
+    interior ran ~30 dB). A TTS that *generates* its own silence tail
+    gives the vocoder true end context, no serving-path special cases."""
     import jax
     import jax.numpy as jnp
 
@@ -306,10 +316,14 @@ def mel_targets_for(texts: List[str], n_mels: int, reduction: int,
         speakers = [0] * b
     if emotions is None:
         emotions = ["neutral"] * b
+    tail = tail_silence_frames * hop
     wavs = [
-        render_text(t, sample_rate, seed=0, speaker=speakers[i],
-                    emotion=emotions[i],
-                    hop_quantize=hop)  # deterministic, phase on the grid
+        np.pad(
+            render_text(t, sample_rate, seed=0, speaker=speakers[i],
+                        emotion=emotions[i],
+                        hop_quantize=hop),  # deterministic, phase on grid
+            (0, tail),
+        )
         for i, t in enumerate(texts)
     ]
     # one bucket: enough for max_groups everywhere (frames = len // hop)

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-5 training pipeline: serialized heavy TPU jobs (2 host cores).
+cd /root/repo
+set -x
+date
+timeout 3600 python -m janus_tpu.train.retrain_demo --what vocoder --voc-steps 12000 \
+  > logs/r5_vocoder.log 2>&1
+echo "vocoder exit: $?"
+date
+timeout 3600 python -m janus_tpu.train.retrain_demo --what tts --tts-steps 12000 \
+  > logs/r5_tts.log 2>&1
+echo "tts exit: $?"
+date
+timeout 5400 python -m janus_tpu.train.retrain_demo --what tts_hard --hard-tts-steps 16000 \
+  > logs/r5_tts_hard.log 2>&1
+echo "tts_hard exit: $?"
+date
+timeout 5400 python -m janus_tpu.train.retrain_demo --what asr_hard --hard-steps 8000 --hard-warm-start \
+  > logs/r5_asr_hard.log 2>&1
+echo "asr_hard exit: $?"
+date
+echo "PIPELINE DONE"

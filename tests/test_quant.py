@@ -157,13 +157,14 @@ def test_cross_attention_kv_kernel_matches_dequant_path(rng):
 
     from janus_tpu.ops.attention import attend
     from janus_tpu.ops.cross_attn import cross_attention_kv
-    from janus_tpu.ops.quant import dequant_kv, quantize_kv
+    from janus_tpu.ops.quant import dequant_kv, quantize_kv_t
 
     b, h, tq, t, dh = 2, 4, 3, 50, 64
     q = jnp.asarray(rng.standard_normal((b, h, tq, dh)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, t, dh)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, t, dh)).astype(np.float32))
-    qk, qv = quantize_kv(k), quantize_kv(v)
+    qk, qv = quantize_kv_t(k), quantize_kv_t(v)
+    assert qk.q.shape == (b, h, dh, t) and qk.scale.shape == (b, h, t)
 
     ref = np.asarray(attend(q, dequant_kv(qk, jnp.float32),
                             dequant_kv(qv, jnp.float32)))

@@ -60,8 +60,11 @@ def test_demo_vocoder_snr_floor(bundle):
     from janus_tpu.train.demo import demo_vocoder_config
     from janus_tpu.train.retrain_demo import quick_copy_snr
 
+    # r5: d256/L8 retrain + correct end-flush context moved the probe from
+    # ~19 dB to ~29 dB; the floor moves up with it (VERDICT r4 weak-6
+    # asked for >= 23 mean / >= 21 min with headroom over the old 18 gate)
     snr = quick_copy_snr(bundle.vocoder_params, demo_vocoder_config())
-    assert snr >= 18.0, snr
+    assert snr >= 24.0, snr
 
 
 @needs_zoo
