@@ -185,30 +185,12 @@ def _pad_stream(audio: jax.Array, buf: int, hop: int) -> tuple[jax.Array, int]:
     return padded, n_hops
 
 
-def _track_difference(audio: jax.Array, buf: int, hop: int,
-                      n_lags_out: int, tau_chunk: int = 128) -> jax.Array:
-    """d(τ), τ ∈ [0, n_lags_out), for EVERY hop window of a signal at once:
-    ``[..., T] → [..., n_hops, n_lags_out]``. Requires ``hop | buf//2``.
-
-    The per-window correlation is computed signal-level: windows overlap by
-    ``buf - hop`` samples, and each window's lag sum decomposes into
-    ``buf//2 / hop`` hop-aligned block sums of the shifted product
-    ``x[m]·x[m+τ]``, shared between neighboring windows. Everything is a
-    direct f32 sum — exact linear correlation, no FFT (XLA's TPU FFT runs
-    ~10× below the VPU's throughput on these shapes; this formulation
-    replaced it after profiling showed YIN at 87% of semantic-encode time),
-    and the windows themselves are never materialized. Window energies come
-    from prefix-sum differences (local rounding only — prefix-sum drift
-    cancels in differences)."""
-    n_lags = buf // 2
-    assert n_lags % hop == 0, "fast track path requires hop | buf//2"
-    r = n_lags // hop
-    padded, n_hops = _pad_stream(audio.astype(jnp.float32), buf, hop)
+def _block_sums_xla(padded: jax.Array, nblk: int, hop: int,
+                    n_lags_out: int, tau_chunk: int = 128) -> jax.Array:
+    """``bs[..., nblk, ≥n_lags_out]`` = Σ_{i<hop} x[b·hop+i]·x[b·hop+τ+i]
+    via per-τ shifted slices of the signal (the general-platform path)."""
     batch = padded.shape[:-1]
-
-    nblk = n_hops + r - 1
     first = padded[..., : nblk * hop].reshape(*batch, nblk, hop)
-
     n_chunks = -(-n_lags_out // tau_chunk)
 
     def one_tau(tau):
@@ -223,9 +205,48 @@ def _track_difference(audio: jax.Array, buf: int, hop: int,
     if n_chunks > 1:
         bs = jax.lax.map(one_chunk, jnp.arange(n_chunks))
         bs = jnp.moveaxis(bs, 0, -2)  # [..., nblk, n_chunks, tc]
-        bs = bs.reshape(*batch, nblk, n_chunks * tau_chunk)
+        return bs.reshape(*batch, nblk, n_chunks * tau_chunk)
+    return one_chunk(0)
+
+
+def _track_difference(audio: jax.Array, buf: int, hop: int,
+                      n_lags_out: int, use_pallas: bool | None = None
+                      ) -> jax.Array:
+    """d(τ), τ ∈ [0, n_lags_out), for EVERY hop window of a signal at once:
+    ``[..., T] → [..., n_hops, n_lags_out]``. Requires ``hop | buf//2``.
+
+    The per-window correlation is computed signal-level: windows overlap by
+    ``buf - hop`` samples, and each window's lag sum decomposes into
+    ``buf//2 / hop`` hop-aligned block sums of the shifted product
+    ``x[m]·x[m+τ]``, shared between neighboring windows. Everything is a
+    direct f32 sum — exact linear correlation, no FFT (XLA's TPU FFT runs
+    ~10× below the VPU's throughput on these shapes; this formulation
+    replaced it after profiling showed YIN at 87% of semantic-encode time),
+    and the windows themselves are never materialized. Window energies come
+    from prefix-sum differences (local rounding only — prefix-sum drift
+    cancels in differences).
+
+    On TPU the block sums come from the fused Pallas kernel
+    (:func:`janus_tpu.ops.yin_pallas.block_sums`) — the XLA per-τ path
+    re-reads a shifted copy of the whole signal for every lag (~2 GB of
+    effective traffic at flagship batch, ROOFLINE §2); the kernel keeps
+    the signal tile VMEM-resident and accumulates all lags in one pass."""
+    n_lags = buf // 2
+    assert n_lags % hop == 0, "fast track path requires hop | buf//2"
+    r = n_lags // hop
+    padded, n_hops = _pad_stream(audio.astype(jnp.float32), buf, hop)
+    batch = padded.shape[:-1]
+
+    nblk = n_hops + r - 1
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from janus_tpu.ops.yin_pallas import block_sums
+
+        bs = block_sums(padded, nblk, hop, n_lags_out,
+                        interpret=jax.devices()[0].platform != "tpu")
     else:
-        bs = one_chunk(0)
+        bs = _block_sums_xla(padded, nblk, hop, n_lags_out)
     # cross_k[τ] = Σ_{b=k}^{k+r-1} bs[b, τ], via block-prefix differences
     csum_b = jnp.cumsum(bs, axis=-2)
     zero = jnp.zeros_like(csum_b[..., :1, :])

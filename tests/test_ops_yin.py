@@ -207,3 +207,44 @@ def test_serving_16k_geometry_matches_48k():
     rng = np.random.default_rng(7)
     noise = (0.05 * rng.standard_normal(48_000)).astype(np.float32)
     assert f16(noise) == 0.0 or abs(f16(noise) - f48(noise)) < 5.0
+
+
+def test_pallas_block_sums_match_xla_path():
+    """The Pallas YIN block-sum kernel (interpret mode off-TPU) must match
+    the XLA per-tau path on both serving geometries."""
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.yin import _block_sums_xla, _pad_stream
+    from janus_tpu.ops.yin_pallas import block_sums
+
+    rng = np.random.default_rng(11)
+    for buf, hop, n_lags_out, t in ((1360, 170, 402, 16_000),
+                                    (4096, 512, 1202, 24_000)):
+        audio = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32))
+        padded, n_hops = _pad_stream(audio, buf, hop)
+        nblk = n_hops + (buf // 2) // hop - 1
+        ref = np.asarray(_block_sums_xla(padded, nblk, hop, n_lags_out))
+        out = np.asarray(block_sums(padded, nblk, hop, n_lags_out,
+                                    interpret=True))
+        np.testing.assert_allclose(out[..., :n_lags_out],
+                                   ref[..., :n_lags_out],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_track_difference_pallas_route_matches():
+    """yin_track's d(tau) via the Pallas route (interpret) equals the XLA
+    route end to end."""
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.yin import _track_difference
+
+    rng = np.random.default_rng(12)
+    audio = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    ref = np.asarray(_track_difference(audio, 1360, 170, 402,
+                                       use_pallas=False))
+    out = np.asarray(_track_difference(audio, 1360, 170, 402,
+                                       use_pallas=True))
+    # d(tau) ~ O(100); near-zero entries (perfect periodicity) amplify f32
+    # accumulation-order differences into large RELATIVE error, so the
+    # bound is absolute at d's scale
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-3)
