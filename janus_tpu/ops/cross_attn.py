@@ -48,30 +48,35 @@ _LANE = 128
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *, scale: float,
-            t_valid: int):
-    q = q_ref[0].astype(jnp.float32)            # [tq, Dh]
-    kt = kq_ref[0].astype(jnp.float32)          # [Dh, T] int8 → f32 in VMEM
-    ks = ks_ref[0].astype(jnp.float32)          # [1, T] per-position scales
+            t_valid: int, h: int, dh: int):
+    # one grid program per batch row; heads are a STATIC in-kernel loop —
+    # a (batch·head) grid at flagship shape means 160 tiny programs per
+    # layer, all launch overhead
+    for head in range(h):
+        q = q_ref[0, head].astype(jnp.float32)       # [tq, Dh]
+        kt = kq_ref[0, head * dh:(head + 1) * dh, :].astype(jnp.float32)
+        ks = ks_ref[0, head:head + 1, :].astype(jnp.float32)   # [1, T]
 
-    s = jax.lax.dot_general(
-        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                    # [tq, T]
-    s = s * ks                                   # fold K dequant into columns
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                    # [tq, T]
+        s = s * ks                                   # fold K dequant in
 
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < t_valid, s, -1e30)       # lane padding
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < t_valid, s, -1e30)       # lane padding
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
 
-    vs = vs_ref[0].astype(jnp.float32)           # [1, T]
-    vt = vq_ref[0].astype(jnp.float32)           # [Dh, T]
-    o = jax.lax.dot_general(
-        p * vs, vt, (((1,), (1,)), ((), ())),    # contract over T
-        preferred_element_type=jnp.float32,
-    )                                            # [tq, Dh]
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        vs = vs_ref[0, head:head + 1, :].astype(jnp.float32)   # [1, T]
+        vt = vq_ref[0, head * dh:(head + 1) * dh, :].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            p * vs, vt, (((1,), (1,)), ((), ())),    # contract over T
+            preferred_element_type=jnp.float32,
+        )                                            # [tq, Dh]
+        o_ref[0, head] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -85,30 +90,31 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _cross_bh(q, kq, ks, vq, vs, interpret: bool):
-    """``q[BH, tq, Dh]``, int8 ``kq/vq[BH, Dh, T]``, scales ``ks/vs[BH, T]``."""
-    bh, tq, dh = q.shape
+    """``q[B, H, tq, Dh]``, int8 ``kq/vq[B, H·Dh, T]``, scales
+    ``ks/vs[B, H, T]``."""
+    b, h, tq, dh = q.shape
     t = kq.shape[-1]
     scale = dh**-0.5
 
     kq = _pad_to(kq, 2, _LANE)
     vq = _pad_to(vq, 2, _LANE)
-    ks = _pad_to(ks, 1, _LANE)[:, None, :]       # [BH, 1, Tp]
-    vs = _pad_to(vs, 1, _LANE)[:, None, :]
+    ks = _pad_to(ks, 2, _LANE)
+    vs = _pad_to(vs, 2, _LANE)
     tp = kq.shape[-1]
 
-    kernel = functools.partial(_kernel, scale=scale, t_valid=t)
+    kernel = functools.partial(_kernel, scale=scale, t_valid=t, h=h, dh=dh)
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, tq, dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, dh, tp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, dh, tp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, tq, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h * dh, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h * dh, tp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, tp), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, dh), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, dh), q.dtype),
+        out_specs=pl.BlockSpec((1, h, tq, dh), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, dh), q.dtype),
         interpret=interpret,
     )(q, kq, ks, vq, vs)
 
@@ -132,12 +138,11 @@ def cross_attention_kv(q: jax.Array, k, v, force: bool = False) -> jax.Array:
 
     *lead, h, tq, dh = q.shape
     t = k.q.shape[-1]
-    bh = int(np.prod(lead)) * h if lead else h
-    qf = q.reshape(bh, tq, dh)
+    b = int(np.prod(lead)) if lead else 1
     out = _cross_bh(
-        qf,
-        k.q.reshape(bh, dh, t), k.scale.reshape(bh, t),
-        v.q.reshape(bh, dh, t), v.scale.reshape(bh, t),
+        q.reshape(b, h, tq, dh),
+        k.q.reshape(b, h * dh, t), k.scale.reshape(b, h, t),
+        v.q.reshape(b, h * dh, t), v.scale.reshape(b, h, t),
         not on_tpu,
     )
     return out.reshape(*lead, h, tq, dh)

@@ -267,10 +267,23 @@ def main() -> None:
         "joyful": 1.2, "shouting": 1.2,
     }
 
+    def tts_schedule(steps: int, peak: float = 1e-3):
+        # cosine-annealed: the constant-1e-3 recipe plateaued in a noisy
+        # basin (~0.02 loss) and final emotion-roundtrip quality was a
+        # draw of where the last step landed (r5 finding: a 12k constant-
+        # LR run shipped 2/5 emotion tags; the same run annealed settles)
+        import optax
+
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak,
+            warmup_steps=min(200, steps // 10),
+            decay_steps=steps, end_value=1e-5)
+
     if "tts" in what:
         params, cfg, tok, hist = demo_mod.train_demo_tts(
             steps=args.tts_steps, batch=args.batch,
             pool_refresh_every=1200,
+            learning_rate=tts_schedule(args.tts_steps),
             emotion_weights=TTS_EMOTION_WEIGHTS,
             save_every=2000, save_path=f"{args.out_dir}/demo_tts.npz")
         logger.info("tts final loss=%.4f", hist[-1])
@@ -291,6 +304,7 @@ def main() -> None:
             cfg=demo_mod.hard_tts_config(),
             corpus=dict(vocab=HARD_WORDS, min_words=1, max_words=5),
             pool_n=768, pool_refresh_every=800,
+            learning_rate=tts_schedule(args.hard_tts_steps),
             emotion_weights=TTS_EMOTION_WEIGHTS,
             save_every=2000, save_path=f"{args.out_dir}/demo_tts_hard.npz")
         logger.info("tts_hard final loss=%.4f", hist[-1])
