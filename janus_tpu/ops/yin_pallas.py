@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 __all__ = ["block_sums"]
 
 _LANE = 128
-_TILE_BLK = 16
+_TILE_BLK = 64
 
 
 def _kernel(x4_ref, o_ref, *, hop: int, tau_pad: int):
