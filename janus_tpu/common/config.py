@@ -200,8 +200,13 @@ class TTSConfig:
         geometry bench.py's flagship-decode section measures; VERDICT r4
         task 3). ``scan_layers``: one compiled block body, same rule as
         the large-v3 encoder (the unrolled 30-layer HLO would overwhelm
-        the compile tunnel)."""
-        return cls(d_model=1280, layers=30, num_heads=20, scan_layers=True)
+        the compile tunnel). ``reduction=4``: the AR step at this scale is
+        launch-bound ([8,1,1280] matmuls × 30 layers ≈ 12 ms regardless of
+        frames emitted — BENCH r5 stage split), so emitting 4 mel frames
+        per step halves the step count at the same per-step cost; r=2..5
+        is the standard acoustic-model reduction range."""
+        return cls(d_model=1280, layers=30, num_heads=20, scan_layers=True,
+                   reduction=4)
 
 
 @dataclass(frozen=True)
