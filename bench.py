@@ -380,6 +380,31 @@ def main() -> None:
         except Exception as e:
             log(f"sessions stage profile failed (non-fatal): {e}")
 
+        # Deployable-configuration rows at the transfer-bound batch point:
+        # the legacy rows above push 2 s phrases through the 10 s single-
+        # bucket program (kept for cross-round comparability), padding the
+        # wire 5x. A real deployment's DEFAULT_BUCKETS picks the 2 s
+        # bucket; the opt-in mu-law wire halves the remaining bytes.
+        def tight_rows():
+            ph64 = [voiced_phrase(f0=150.0 + 3 * i, seconds=sess_seconds,
+                                  amp=0.12, seed=i) for i in range(64)]
+            for label, rcfg in (
+                    ("tight", cfg),
+                    ("tight_ulaw", cfg.override(
+                        **{"runtime.encode_transfer_ulaw": True}))):
+                tenc = SemanticEncoder(rcfg, buckets=(48_000 * 2,))
+                _retry(lambda: tenc.encode_batch(ph64), tries=3,
+                       label=f"sessions {label} warm")
+                dt = _amortized_encode(tenc, ph64, k=3, reps=2,
+                                       label=f"sessions b=64 {label}")
+                result[f"session_b64_{label}_audio_s_per_s"] = round(
+                    64 * sess_seconds / dt, 1)
+
+        try:
+            tight_rows()
+        except Exception as e:
+            log(f"sessions tight rows failed (non-fatal): {e}")
+
         if errors:
             result["session_scaling_errors"] = errors
             raise RuntimeError(f"session batch points failed: {errors}")

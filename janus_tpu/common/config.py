@@ -267,6 +267,14 @@ class RuntimeConfig:
     # because host->device transfer is a first-order cost on a remote
     # dispatch link (15.4 MB/call at the 10 s x batch-8 bucket).
     encode_transfer_int16: bool = True
+    # Opt-in 8-bit G.711-style mu-law wire format (overrides int16):
+    # halves transfer again at ~35-38 dB quantization SNR — far above the
+    # hard corpus's gated noise floors (WER holds at snr0=0dB additive
+    # noise), but no longer bit-exact for capture audio, so OFF by
+    # default. Worth flipping when the host<->device link is the wall:
+    # the r5 session-scaling decomposition showed the b=32->64 plateau is
+    # ~17 MB/s tunnel transfer with the device program flat (BENCH_NOTES).
+    encode_transfer_ulaw: bool = False
 
 
 @dataclass(frozen=True)

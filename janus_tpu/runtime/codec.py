@@ -191,6 +191,12 @@ class SemanticEncoder:
             # exact inverse of the capture-side int16 -> float32/32768
             # conversion (reference backend/services/audio_io.py:125-128)
             audio_48k = audio_48k.astype(jnp.float32) / 32768.0
+        elif audio_48k.dtype == jnp.uint8:
+            # 8-bit mu-law wire (RuntimeConfig.encode_transfer_ulaw):
+            # halves the transfer again at ~35-38 dB quantization SNR
+            from janus_tpu.audio.ulaw import ulaw_decode
+
+            audio_48k = ulaw_decode(audio_48k)
 
         def frontend(audio_48k, n_valid):
             """Per-shard audio frontend: prosody + mel. FFT ops (YIN
@@ -327,7 +333,13 @@ class SemanticEncoder:
 
         n16 = self.mel_frame_budget(bucket)
 
-        if self.cfg.runtime.encode_transfer_int16:
+        if self.cfg.runtime.encode_transfer_ulaw:
+            # 8-bit mu-law wire: half of int16 again, ~35-38 dB SNR
+            # (opt-in; see RuntimeConfig.encode_transfer_ulaw)
+            from janus_tpu.audio.ulaw import ulaw_encode
+
+            batch = ulaw_encode(batch)
+        elif self.cfg.runtime.encode_transfer_int16:
             # ship int16 PCM (half the transfer bytes); the program
             # converts back with the exact capture-side scaling
             batch = np.clip(np.round(batch * 32768.0),

@@ -188,3 +188,42 @@ def test_int16_transfer_exact_for_capture_native_audio():
     assert a["text"] == b["text"]
     np.testing.assert_allclose(a["f0"], b["f0"], rtol=0, atol=1e-4)
     np.testing.assert_allclose(a["rms"], b["rms"], rtol=0, atol=1e-7)
+
+
+def test_ulaw_wire_roundtrip_snr():
+    """mu-law encode/decode quantization SNR must exceed 30 dB on
+    speech-level signals (the opt-in 8-bit wire format)."""
+    import jax.numpy as jnp
+
+    from janus_tpu.audio.ulaw import ulaw_decode, ulaw_encode
+    from janus_tpu.train.synthetic_task import render_text
+
+    w = render_text("alpha bravo charlie", 48_000, seed=3)
+    rec = np.asarray(ulaw_decode(jnp.asarray(ulaw_encode(w))))
+    p_sig = float(np.mean(w**2))
+    p_err = float(np.mean((rec - w) ** 2)) + 1e-20
+    snr = 10 * np.log10(p_sig / p_err)
+    assert snr > 30.0, snr
+
+
+def test_ulaw_wire_through_encoder():
+    """encode_batch with the mu-law wire produces the same prosody codes
+    as the exact int16 wire (tiny random ASR; text is degenerate there,
+    prosody is the numeric surface)."""
+    from janus_tpu.common.config import JanusConfig
+    from janus_tpu.runtime.codec import SemanticEncoder
+    from janus_tpu.train.synthetic_task import render_text
+
+    cfg = JanusConfig().override(**{
+        "asr.n_mels": 16, "asr.d_model": 32, "asr.encoder_layers": 1,
+        "asr.decoder_layers": 1, "asr.num_heads": 2, "asr.vocab_size": 300,
+        "asr.max_source_positions": 64, "asr.max_target_positions": 8,
+        "asr.max_decode_tokens": 4, "asr.dtype": "float32",
+    })
+    w = render_text("echo lima", 48_000, seed=5)
+    a = SemanticEncoder(cfg, buckets=(48_000,)).encode_batch([w])[0]
+    ucfg = cfg.override(**{"runtime.encode_transfer_ulaw": True})
+    b = SemanticEncoder(ucfg, buckets=(48_000,)).encode_batch([w])[0]
+    assert a["prosody"] == b["prosody"]
+    assert abs(a["f0"] - b["f0"]) < 2.0  # Hz; 8-bit quantization noise
+    assert abs(a["rms"] - b["rms"]) < 2e-3
