@@ -77,9 +77,10 @@ def resample_poly(
     return out[:, 0, :out_len].reshape(batch_shape + (out_len,))
 
 
-def _decimate_fir(x: jax.Array, factor: int, num_taps: int) -> jax.Array:
+def _decimate_fir_conv(x: jax.Array, factor: int, num_taps: int) -> jax.Array:
     """Integer decimation: anti-alias FIR + stride in polyphase-channel
-    form.
+    form (conv-engine formulation; kept as the ablation/parity reference
+    for the matmul path in :func:`_decimate_fir`).
 
     The signal is folded into ``factor`` phase channels and convolved with
     the matching tap phases — a ``factor``-channel contraction with a
@@ -110,6 +111,58 @@ def _decimate_fir(x: jax.Array, factor: int, num_taps: int) -> jax.Array:
         dimension_numbers=("NCW", "OIW", "NCW"),
     )
     return y[:, 0, :out_len].reshape(batch_shape + (out_len,))
+
+
+@functools.lru_cache(maxsize=None)
+def _decimate_matmul_weights(factor: int, num_taps: int,
+                             block_out: int) -> tuple[np.ndarray, int, int]:
+    """Banded tap matrix ``W[i, m] = h[i - factor·m]`` for the framed
+    matmul decimator, plus the (rounded-odd) tap count and frame overlap."""
+    num_taps_r = int(np.ceil(num_taps / factor) * factor) + 1
+    taps = fir_lowpass_taps(num_taps_r, 1.0 / factor)
+    overlap = num_taps_r - 1                      # multiple of ``factor``
+    width = factor * block_out + overlap
+    w = np.zeros((width, block_out), dtype=np.float32)
+    for m in range(block_out):
+        w[factor * m : factor * m + num_taps_r, m] = taps
+    return w, num_taps_r, overlap
+
+
+def _decimate_fir(x: jax.Array, factor: int, num_taps: int,
+                  block_out: int = 256) -> jax.Array:
+    """Integer decimation: anti-alias FIR + stride as banded matmuls.
+
+    ``y[m] = Σ_j h[j]·x[factor·m + j − D]`` is evaluated ``block_out``
+    outputs at a time against a banded tap matrix. The overlapping input
+    frame for output block f is (chunk f ‖ head of chunk f+1); rather than
+    materializing that concat (a minor-dim copy XLA lays out badly — it
+    alone cost ~6 ms at 8×10 s), the tap matrix is split at the chunk
+    boundary and the two pieces are contracted separately from pure
+    non-overlapping reshapes:  ``y = c_f @ W[:chunk] + head_{f+1} @
+    W[chunk:]``. On TPU both matmuls run on the MXU; measured 16.4 ms
+    (conv engine, :func:`_decimate_fir_conv`) → 0.6 ms for 8×10 s at
+    48 kHz on a v5e. ``precision=HIGHEST`` keeps the accumulation f32 —
+    the FLOPs are negligible either way."""
+    w_np, num_taps_r, overlap = _decimate_matmul_weights(
+        factor, num_taps, block_out)
+    half = num_taps_r // 2
+    chunk = factor * block_out
+    hi = jax.lax.Precision.HIGHEST
+    w_main = jnp.asarray(w_np[:chunk])
+    w_tail = jnp.asarray(w_np[chunk:])
+
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    out_len = t // factor
+    n_frames = -(-out_len // block_out)
+    need = chunk * (n_frames + 1)
+    xf = x.reshape(-1, t)
+    xp = jnp.pad(xf, ((0, 0), (half, need - t - half)))
+    c2 = xp.reshape(xf.shape[0], n_frames + 1, chunk)
+    y = (jnp.matmul(c2[:, :n_frames], w_main, precision=hi)
+         + jnp.matmul(c2[:, 1:, :overlap], w_tail, precision=hi))
+    return y.reshape(xf.shape[0], n_frames * block_out)[:, :out_len] \
+            .reshape(batch_shape + (out_len,))
 
 
 def decimate_48k_to_16k(x: jax.Array) -> jax.Array:

@@ -20,6 +20,8 @@ the sublane axis so the VPU is fully occupied.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,11 +211,206 @@ def _block_sums_xla(padded: jax.Array, nblk: int, hop: int,
     return one_chunk(0)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_corr_mats(hop: int, tau_out: int, f_need: int, n: int):
+    """Real DFT / inverse matrices for the matmul-DFT correlation route
+    (float64-designed, f32-cast): the forward cosine/sine bank for one
+    hop block, the block-shift twiddles ``e^{-2πi·m·hop·k/N}``, and the
+    weighted inverse bank that lands directly on the lag axis."""
+    k = n // 2 + 1
+    w = 2.0 * np.pi / n
+    kk = np.arange(k)[None, :]
+    ia = np.arange(hop)[:, None]
+    cos_f = np.cos(w * ia * kk).astype(np.float32)
+    sin_f = np.sin(w * ia * kk).astype(np.float32)
+    mm = np.arange(f_need)[:, None]
+    tw_re = np.cos(w * mm * hop * kk).astype(np.float32)
+    tw_im = -np.sin(w * mm * hop * kk).astype(np.float32)
+    wk = np.full(k, 2.0)
+    wk[0] = 1.0
+    if n % 2 == 0:
+        wk[-1] = 1.0
+    kc = np.arange(k)[:, None]
+    tau = np.arange(tau_out)[None, :]
+    cos_t = (np.cos(w * kc * tau) * wk[:, None] / n).astype(np.float32)
+    sin_t = (np.sin(w * kc * tau) * wk[:, None] / n).astype(np.float32)
+    return cos_f, sin_f, tw_re, tw_im, cos_t, sin_t
+
+
+def _block_sums_dft(padded: jax.Array, nblk: int, hop: int,
+                    n_lags_out: int) -> jax.Array:
+    """``bs[..., nblk, n_lags_out]`` via matmul-DFT linear correlation —
+    the MXU route.
+
+    Per block the lag sum ``bs[blk, τ] = Σ_{i<hop} x[blk·hop+i]·
+    x[blk·hop+τ+i]`` is a linear cross-correlation of the block's leading
+    ``hop`` samples against its ``f_need``-block span. With DFT length
+    ``N = f_need·hop ≥ hop−1+tau_out`` the circular theorem is exact (no
+    wrap), so: (1) every non-overlapping hop block gets ONE forward DFT —
+    a dense ``[hop, K]`` matmul against a cosine/sine bank (the
+    `ops/mel_pallas` matmul-DFT insight: XLA's TPU FFT op runs far below
+    the MXU on these shapes, a dense DFT matmul does not); (2) each row's
+    span spectrum is assembled from its ``f_need`` consecutive block
+    spectra via shift-theorem twiddles — pure aligned elementwise FMAs, no
+    overlapping-frame materialization (the framed build alone measured
+    ~6 ms at flagship batch — more than the whole computation is worth);
+    (3) the weighted inverse bank lands conj(A)·B directly on the lag
+    axis. ~6 GFLOP at flagship batch; measured 13.8 ms (Pallas
+    direct-sum) → ~1 ms on a v5e."""
+    batch = padded.shape[:-1]
+    b = 1
+    for s in batch:
+        b *= s
+    x = padded.reshape(b, padded.shape[-1]).astype(jnp.float32)
+
+    tau_out = n_lags_out
+    span = hop - 1 + tau_out
+    f_need = -(-span // hop)
+    n = f_need * hop
+    n_blocks = nblk + f_need - 1
+    total = n_blocks * hop
+    t = x.shape[-1]
+    if t < total:
+        x = jnp.pad(x, ((0, 0), (0, total - t)))
+    blocks = x[:, :total].reshape(b, n_blocks, hop)
+
+    cos_f, sin_f, tw_re, tw_im, cos_t, sin_t = map(
+        jnp.asarray, _dft_corr_mats(hop, tau_out, f_need, n))
+    hi = jax.lax.Precision.HIGHEST
+    g_re = jnp.matmul(blocks, cos_f, precision=hi)    # [b, n_blocks, K]
+    g_im = -jnp.matmul(blocks, sin_f, precision=hi)
+
+    # row blk's span = blocks blk..blk+f_need−1 ⇒ spectrum by shift
+    # theorem: XB[k] = Σ_m e^{-2πi·m·hop·k/N} · G[blk+m, k]. The span's
+    # tail samples beyond ``span`` are included whole — harmless, they
+    # only touch lags ≥ tau_out (N ≥ f_need·hop keeps them unaliased).
+    xb_re = jnp.zeros_like(g_re[:, :nblk])
+    xb_im = jnp.zeros_like(xb_re)
+    for m in range(f_need):
+        gr, gi = g_re[:, m : m + nblk], g_im[:, m : m + nblk]
+        twr, twi = tw_re[m][None, None], tw_im[m][None, None]
+        xb_re = xb_re + (twr * gr - twi * gi)
+        xb_im = xb_im + (twr * gi + twi * gr)
+    a_re, a_im = g_re[:, :nblk], g_im[:, :nblk]   # A = block blk, zero-pad
+    # P = conj(A)·B, then corr[τ] = (1/N)·Σ_k w_k·Re(P[k]·e^{+2πikτ/N})
+    p_re = a_re * xb_re + a_im * xb_im
+    p_im = a_re * xb_im - a_im * xb_re
+    corr = (jnp.matmul(p_re, cos_t, precision=hi)
+            - jnp.matmul(p_im, sin_t, precision=hi))
+    return corr.reshape(*batch, nblk, tau_out)
+
+
+def _track_difference_dft(padded: jax.Array, n_hops: int, r: int, hop: int,
+                          n_lags_out: int) -> jax.Array:
+    """d(τ) for every hop window via the fused matmul-DFT route.
+
+    Both terms of ``d = e0 + energy − 2·cross`` are correlations over the
+    same ``f_need``-block spans: ``cross`` correlates each block's samples
+    against its span, ``energy`` correlates a ones-window against the
+    squared span (``energy[k,τ] = Σ_{j<n_lags} x[k·hop+τ+j]²``). Both ride
+    the same machinery — one forward DFT matmul per non-overlapping hop
+    block (signal and its square), shift-theorem span assembly, and ONE
+    stacked inverse matmul. This removes the signal-length prefix sum and
+    the ``[n_hops, n_lags]`` energy gather of the generic path (~3.9 ms of
+    the 4.3 ms d(τ) cost at flagship batch on a v5e — the gather, not the
+    correlation, was the bottleneck)."""
+    batch = padded.shape[:-1]
+    b = 1
+    for s in batch:
+        b *= s
+    x = padded.reshape(b, padded.shape[-1]).astype(jnp.float32)
+
+    nblk = n_hops + r - 1
+    tau_out = n_lags_out
+    span = hop - 1 + tau_out
+    f_need = -(-span // hop)
+    n = f_need * hop
+    n_blocks = nblk + f_need - 1
+    total = n_blocks * hop
+    t = x.shape[-1]
+    if t < total:
+        x = jnp.pad(x, ((0, 0), (0, total - t)))
+    blocks = x[:, :total].reshape(b, n_blocks, hop)
+
+    cos_f, sin_f, tw_re, tw_im, cos_t, sin_t = map(
+        jnp.asarray, _dft_corr_mats(hop, tau_out, f_need, n))
+    hi = jax.lax.Precision.HIGHEST
+    zblocks = blocks * blocks
+    g_re = jnp.matmul(blocks, cos_f, precision=hi)    # [b, n_blocks, K]
+    g_im = -jnp.matmul(blocks, sin_f, precision=hi)
+    z_re = jnp.matmul(zblocks, cos_f, precision=hi)
+    z_im = -jnp.matmul(zblocks, sin_f, precision=hi)
+
+    def assemble(re, im):
+        o_re = jnp.zeros_like(re[:, :nblk])
+        o_im = jnp.zeros_like(o_re)
+        for m in range(f_need):
+            gr, gi = re[:, m : m + nblk], im[:, m : m + nblk]
+            twr, twi = tw_re[m][None, None], tw_im[m][None, None]
+            o_re = o_re + (twr * gr - twi * gi)
+            o_im = o_im + (twr * gi + twi * gr)
+        return o_re, o_im
+
+    xb_re, xb_im = assemble(g_re, g_im)
+    zb_re, zb_im = assemble(z_re, z_im)
+    a_re, a_im = g_re[:, :nblk], g_im[:, :nblk]
+    # ones-window spectrum: o[k] = Σ_{j<hop} e^{-2πijk/N}
+    o_re = jnp.sum(cos_f, axis=0)[None, None]
+    o_im = -jnp.sum(sin_f, axis=0)[None, None]
+
+    # stacked products → ONE inverse matmul for cross and energy sums
+    p_re = jnp.concatenate(
+        [a_re * xb_re + a_im * xb_im, o_re * zb_re + o_im * zb_im], axis=1)
+    p_im = jnp.concatenate(
+        [a_re * xb_im - a_im * xb_re, o_re * zb_im - o_im * zb_re], axis=1)
+    corr = (jnp.matmul(p_re, cos_t, precision=hi)
+            - jnp.matmul(p_im, sin_t, precision=hi))
+    bs, zbs = corr[:, :nblk], corr[:, nblk:]
+
+    def window_sums(v):
+        csum = jnp.cumsum(v, axis=-2)
+        zero = jnp.zeros_like(csum[..., :1, :])
+        c0 = jnp.concatenate([zero, csum], axis=-2)
+        k_idx = np.arange(n_hops)
+        return c0[..., k_idx + r, :] - c0[..., k_idx, :]
+
+    cross = window_sums(bs)
+    energy = window_sums(zbs)
+    # Windows whose analysis half (the first n_lags samples) is exactly
+    # silent have cross ≡ 0 in exact arithmetic; the DFT route's ~1e-6
+    # relative noise would otherwise fabricate CMNDF dips there (spurious
+    # voiced frames at stream-start padding). Exact a-part energies are a
+    # cheap block reduction — snap those rows' cross to true zero.
+    arow = jnp.sum(zblocks, axis=-1)                  # [b, n_blocks]
+    acs = jnp.concatenate(
+        [jnp.zeros_like(arow[:, :1]), jnp.cumsum(arow, axis=-1)], axis=-1)
+    k_idx = np.arange(n_hops)
+    ae = acs[:, k_idx + r] - acs[:, k_idx]            # [b, n_hops]
+    cross = jnp.where(ae[..., None] > 0.0, cross, 0.0)
+    e0 = energy[..., :1]
+    d = jnp.maximum(e0 + energy - 2.0 * cross, 0.0)
+    # Sub-noise-floor snap: the route's ~1e-6-relative roundoff (of the
+    # span energy) must not masquerade as CMNDF structure where exact
+    # arithmetic gives d ≈ 0 — near-silent analysis windows would report
+    # random voiced pitches. Genuine periodicity dips in real signals sit
+    # ≥1e-4 of the window energy (and a snapped true-zero dip stays a
+    # selected candidate: y = 0 < tolerance), so a 1e-5 relative floor
+    # only touches noise.
+    emax = jnp.max(energy, axis=-1, keepdims=True)
+    d = jnp.where(d > 1e-5 * (e0 + emax), d, 0.0)
+    return d.reshape(*batch, n_hops, tau_out)
+
+
 def _track_difference(audio: jax.Array, buf: int, hop: int,
-                      n_lags_out: int, use_pallas: bool | None = None
-                      ) -> jax.Array:
+                      n_lags_out: int, use_pallas: bool | None = None,
+                      route: str | None = None) -> jax.Array:
     """d(τ), τ ∈ [0, n_lags_out), for EVERY hop window of a signal at once:
     ``[..., T] → [..., n_hops, n_lags_out]``. Requires ``hop | buf//2``.
+
+    ``route`` selects the block-sum backend: ``"dft"`` (matmul-DFT on the
+    MXU — the TPU default), ``"pallas"`` (VMEM-resident direct-sum kernel),
+    ``"xla"`` (per-τ shifted slices — the general-platform default).
+    ``use_pallas`` is the legacy boolean form of the same choice.
 
     The per-window correlation is computed signal-level: windows overlap by
     ``buf - hop`` samples, and each window's lag sum decomposes into
@@ -238,9 +435,15 @@ def _track_difference(audio: jax.Array, buf: int, hop: int,
     batch = padded.shape[:-1]
 
     nblk = n_hops + r - 1
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas:
+    if route is None:
+        if use_pallas is not None:
+            route = "pallas" if use_pallas else "xla"
+        else:
+            route = ("dft" if jax.devices()[0].platform == "tpu"
+                     else "xla")
+    if route == "dft":
+        return _track_difference_dft(padded, n_hops, r, hop, n_lags_out)
+    if route == "pallas":
         from janus_tpu.ops.yin_pallas import block_sums
 
         bs = block_sums(padded, nblk, hop, n_lags_out,

@@ -99,6 +99,26 @@ def test_decimate_passband_flat():
     assert abs(rms - 1 / np.sqrt(2)) < 0.01
 
 
+def test_decimate_matmul_matches_conv_formulation():
+    """The framed-matmul decimator (serving path) must match the
+    conv-engine formulation at float epsilon for odd lengths, small
+    chunks, and batches."""
+    from janus_tpu.ops.resample import _decimate_fir, _decimate_fir_conv
+
+    rng = np.random.default_rng(0)
+    for shape in [(48_000,), (3, 48_000), (2, 1536), (5, 48_007)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        a = np.asarray(_decimate_fir(x, 3, 96))
+        b = np.asarray(_decimate_fir_conv(x, 3, 96))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+    # factor-2 path reached through resample_poly(up=1, down=2)
+    x = jnp.asarray(rng.standard_normal((4, 24_000)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(resample_poly(x, 1, 2)),
+        np.asarray(_decimate_fir_conv(x, 2, 64)), rtol=0, atol=2e-5)
+
+
 def test_resample_poly_upsample():
     sr = 16000
     t = np.arange(sr) / sr

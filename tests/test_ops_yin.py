@@ -231,6 +231,56 @@ def test_pallas_block_sums_match_xla_path():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_dft_block_sums_match_xla_path():
+    """The matmul-DFT block-sum route (the TPU serving default) must match
+    the XLA per-tau direct-sum path on both serving geometries."""
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.yin import _block_sums_dft, _block_sums_xla, _pad_stream
+
+    rng = np.random.default_rng(11)
+    for buf, hop, n_lags_out, t in ((1360, 170, 402, 16_000),
+                                    (4096, 512, 1202, 24_000)):
+        audio = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32))
+        padded, n_hops = _pad_stream(audio, buf, hop)
+        nblk = n_hops + (buf // 2) // hop - 1
+        ref = np.asarray(_block_sums_xla(padded, nblk, hop, n_lags_out))
+        out = np.asarray(_block_sums_dft(padded, nblk, hop, n_lags_out))
+        assert out.shape[:-1] == ref.shape[:-1]
+        np.testing.assert_allclose(out[..., :n_lags_out],
+                                   ref[..., :n_lags_out],
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_track_difference_dft_route_matches():
+    """yin_track's d(tau) via the DFT route equals the XLA route end to
+    end, and tone F0 agrees to well under the interp resolution."""
+    import jax.numpy as jnp
+
+    from janus_tpu.ops.yin import _track_difference
+
+    rng = np.random.default_rng(12)
+    audio = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    ref = np.asarray(_track_difference(audio, 1360, 170, 402, route="xla"))
+    out = np.asarray(_track_difference(audio, 1360, 170, 402, route="dft"))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-3)
+
+    sr = 16_000
+    for freq in (90.0, 300.0, 700.0):
+        t = np.arange(sr) / sr
+        x = jnp.asarray((0.6 * np.sin(2 * np.pi * freq * t)).astype(np.float32))
+        kw = {"fmin": 40.0, "fmax": 1000.0}
+        d_ref = _track_difference(x, 1360, 170, 402, route="xla")
+        d_dft = _track_difference(x, 1360, 170, 402, route="dft")
+        from janus_tpu.ops.yin import _cmndf, _search_bounds, _select_pitch
+        p_lo, p_hi, nlo, bounded = _search_bounds(1360, sr, 40.0, 1000.0)
+        f_ref = float(mean_voiced_pitch(_select_pitch(
+            _cmndf(d_ref)[..., :nlo], sr, 0.8, p_lo, p_hi, bounded)))
+        f_dft = float(mean_voiced_pitch(_select_pitch(
+            _cmndf(d_dft)[..., :nlo], sr, 0.8, p_lo, p_hi, bounded)))
+        assert abs(f_ref - f_dft) < 0.01, (freq, f_ref, f_dft)
+
+
 def test_track_difference_pallas_route_matches():
     """yin_track's d(tau) via the Pallas route (interpret) equals the XLA
     route end to end."""
