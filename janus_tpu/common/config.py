@@ -136,6 +136,12 @@ class ASRConfig:
     # compile one lax.scan block body instead of L unrolled layers; required
     # for flagship-deep models (32-layer unrolled HLO overwhelms compile)
     scan_layers: bool = False
+    # lax.scan unroll factor for the layer scans (1 = pure loop). The
+    # decode step is launch-bound (ROOFLINE §1: ~2.4 ms/step of per-layer
+    # loop overhead at flagship scale); unrolling N layer bodies per scan
+    # iteration amortizes the per-iteration overhead without changing op
+    # order (bit-identical results) at ~N× body compile size.
+    scan_unroll: int = 1
     # serving decode loop: store per-layer cross-attention K/V int8 with
     # per-position scales. In the HBM ledger this halves the dominant
     # non-weight per-token stream — but MEASURED at flagship scale the
@@ -189,6 +195,7 @@ class TTSConfig:
     max_mel_frames: int = 1024
     dtype: str = "bfloat16"
     scan_layers: bool = False           # one lax.scan block body (deep models)
+    scan_unroll: int = 1                # layer-scan unroll (see ASRConfig)
     # Synthesis duration guard: hard cap on emitted audio per prompt token
     # (plus a 0.35 s floor) — bounds the damage of an AR stop-head miss
     # (runaway looping). Generous vs normal speech (~0.06-0.09 s/char).

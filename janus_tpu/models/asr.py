@@ -182,7 +182,8 @@ def encode_audio(params: Params, cfg: ASRConfig, mel: jax.Array,
             h = h + _mlp(blk["mlp"], layer_norm(h, **blk["mlp_ln"]))
             return h, None
 
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, stacked,
+                            unroll=getattr(cfg, "scan_unroll", 1))
     else:
         for blk in enc["blocks"]:
             x = x + _attention(blk["attn"], layer_norm(x, **blk["attn_ln"]),
@@ -420,7 +421,8 @@ def _decoder_forward(
             return h, cache
 
         x, new_caches = jax.lax.scan(
-            body, x, (stacked, state.self_caches, state.cross_k, state.cross_v)
+            body, x, (stacked, state.self_caches, state.cross_k, state.cross_v),
+            unroll=getattr(cfg, "scan_unroll", 1),
         )
     else:
         caches: List[KVCache] = []

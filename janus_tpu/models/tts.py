@@ -241,7 +241,8 @@ def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
             h, cache = _block(blk, h, cfg.num_heads, cache)
             return h, cache
 
-        x, caches = jax.lax.scan(sbody, x, (stacked, state.caches))
+        x, caches = jax.lax.scan(sbody, x, (stacked, state.caches),
+                                 unroll=getattr(cfg, "scan_unroll", 1))
         new_state = TTSState(caches)
     else:
         caches = []
