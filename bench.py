@@ -590,11 +590,45 @@ def main() -> None:
                 return best
 
             stages = {}
+            device_stages = {}
+
+            def timed_device(fn, x, n=12, reps=4):
+                """True per-iteration device time: loop the op n times
+                INSIDE one jitted program with a sequential dependency,
+                report (t_loopN − t_loop1)/(N−1). The chained-dispatch
+                `timed` rows carry a ~6 ms per-call host-dispatch floor
+                through the remote tunnel, which swamps sub-10 ms stages
+                (r5b finding: decimate measured 7.7 ms chained vs 0.06 ms
+                device)."""
+                def looped(xx, k):
+                    def body(i, carry):
+                        eps, acc = carry
+                        out = fn(xx + eps)
+                        s = jnp.sum(out[..., :1].astype(jnp.float32))
+                        return (s * 0.0, acc + s)
+                    return jax.lax.fori_loop(
+                        0, k, body, (jnp.float32(0.0), jnp.float32(0.0)))[1]
+
+                fN = jax.jit(lambda xx: looped(xx, n))
+                f1 = jax.jit(lambda xx: looped(xx, 1))
+                _retry(lambda: (float(fN(x)), float(f1(x))),
+                       label="device-stage warm")
+                tn, t1 = [], []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    float(fN(x))
+                    tn.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(f1(x))
+                    t1.append(time.perf_counter() - t0)
+                return (min(tn) - min(t1)) / (n - 1)
+
             # stage decomposition mirrors the serving program exactly:
             # decimate once, YIN on the 16 kHz stream (ProsodyConfig.yin_rate)
             dec16_fn = jax.jit(decimate_48k_to_16k)
             stages["decimate"] = timed(
                 dec16_fn, (audio,), lambda o: float(jnp.asarray(o)[0, 0]))
+            device_stages["decimate"] = timed_device(decimate_48k_to_16k, audio)
             audio16 = dec16_fn(audio)
             if pcfg.yin_rate == 16_000:
                 yin_fn = jax.jit(lambda a: yin_track(
@@ -608,10 +642,23 @@ def main() -> None:
                 yin_arg = audio
             stages["yin"] = timed(yin_fn, (yin_arg,),
                                   lambda o: float(jnp.asarray(o)[0, 0]))
+            device_stages["yin"] = timed_device(
+                lambda a: yin_track(
+                    a, 16_000, pcfg.yin_window_16k, pcfg.yin_hop_16k,
+                    pcfg.yin_tolerance, fmin=pcfg.fmin_hz, fmax=pcfg.fmax_hz)
+                if pcfg.yin_rate == 16_000 else yin_fn(a),
+                yin_arg)
             mel_fn = jax.jit(lambda a16: asr_mod.prepare_mel(
                 a16, acfg, pad_to_frames=n16))
             stages["mel"] = timed(
                 mel_fn, (audio16,), lambda o: float(jnp.asarray(o)[0, 0, 0]))
+            device_stages["mel"] = timed_device(
+                lambda a16: asr_mod.prepare_mel(a16, acfg,
+                                                pad_to_frames=n16),
+                audio16)
+            result["flagship_stage_device_ms"] = {
+                k: round(v * 1e3, 2) for k, v in device_stages.items()
+            }
             mel = mel_fn(audio16)
             # fenc.params is the host-prepared tree (stacked + QKV-fused)
             enc_fn = jax.jit(lambda w, m: asr_mod.encode_audio(
