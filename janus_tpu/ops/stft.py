@@ -82,22 +82,44 @@ def istft(
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
     n_frames = frames.shape[-2]
     out_len = n_fft + hop * (n_frames - 1)
-
-    starts = hop * np.arange(n_frames)
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # [n_frames, n_fft]
-
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
 
-    def overlap_add(fr):
-        out = jnp.zeros((out_len,), dtype=fr.dtype)
-        return out.at[idx.reshape(-1)].add(fr.reshape(-1))
+    if n_fft % hop == 0:
+        # Overlap-add by phase decomposition: with ratio = n_fft/hop each
+        # hop-slot of the output receives exactly ``ratio`` frame chunks,
+        # so OLA is ``ratio`` frame-axis-shifted elementwise adds — no
+        # scatter (the scatter formulation measured 24 ms of a 25 ms
+        # flagship iSTFT on a v5e; this path ~1 ms). Ascending-m add
+        # order is position-independent, so chunked evaluation stays
+        # bit-identical to full-signal evaluation (streaming TTS parity).
+        ratio = n_fft // hop
+        n_slots = n_frames + ratio - 1
+        chunks = flat.reshape(-1, n_frames, ratio, hop)
+        acc = None
+        w2 = (window.astype(jnp.float32) ** 2).reshape(ratio, hop)
+        wacc = None
+        for m in range(ratio):
+            fm = jnp.pad(chunks[:, :, m, :],
+                         ((0, 0), (m, n_slots - n_frames - m), (0, 0)))
+            acc = fm if acc is None else acc + fm
+            wm = jnp.pad(jnp.broadcast_to(w2[m], (n_frames, hop)),
+                         ((m, n_slots - n_frames - m), (0, 0)))
+            wacc = wm if wacc is None else wacc + wm
+        wav = acc.reshape(-1, n_slots * hop)
+        wsq = wacc.reshape(n_slots * hop)  # constant-folds for fixed windows
+    else:
+        starts = hop * np.arange(n_frames)
+        idx = starts[:, None] + np.arange(n_fft)[None, :]  # [n_frames, n_fft]
 
-    wav = jax.vmap(overlap_add)(flat)
+        def overlap_add(fr):
+            out = jnp.zeros((out_len,), dtype=fr.dtype)
+            return out.at[idx.reshape(-1)].add(fr.reshape(-1))
 
+        wav = jax.vmap(overlap_add)(flat)
+        wsq = jnp.zeros((out_len,), dtype=jnp.float32)
+        wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(window**2, (n_frames,)))
     # Normalize by summed squared window (COLA denominator).
-    wsq = jnp.zeros((out_len,), dtype=jnp.float32)
-    wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(window**2, (n_frames,)))
     wav = wav / jnp.maximum(wsq, 1e-8)
 
     wav = wav.reshape(batch_shape + (out_len,))
