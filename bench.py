@@ -621,7 +621,9 @@ def main() -> None:
                     t0 = time.perf_counter()
                     float(f1(x))
                     t1.append(time.perf_counter() - t0)
-                return (min(tn) - min(t1)) / (n - 1)
+                # clamp: a sub-0.1 ms stage can go slightly negative in
+                # the subtraction (dispatch jitter > stage time)
+                return max(0.0, (min(tn) - min(t1)) / (n - 1))
 
             # stage decomposition mirrors the serving program exactly:
             # decimate once, YIN on the 16 kHz stream (ProsodyConfig.yin_rate)
