@@ -119,6 +119,50 @@ def test_decimate_matmul_matches_conv_formulation():
         np.asarray(_decimate_fir_conv(x, 2, 64)), rtol=0, atol=2e-5)
 
 
+def test_upsample_chunk_bitwise_invariance():
+    """The per-phase shifted-FMA upsampler must give BIT-identical interior
+    outputs for chunked evaluation with halo — the property the streaming
+    TTS parity contract relies on (runtime/streaming_tts.py)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    full = np.asarray(resample_poly(x, 2, 1))
+    halo = 128
+    for lo, hi in ((0, 512), (512, 1024), (1000, 2500), (3500, 4096)):
+        s0, s1 = max(0, lo - halo), min(4096, hi + halo)
+        out = np.asarray(resample_poly(x[:, s0:s1], 2, 1))
+        seg = out[:, (lo - s0) * 2 : (lo - s0) * 2 + (hi - lo) * 2]
+        np.testing.assert_array_equal(seg, full[:, lo * 2 : hi * 2])
+
+
+def test_istft_fast_ola_matches_scatter():
+    """When hop divides n_fft the scatter-free overlap-add must match the
+    scatter formulation (kept for non-dividing hops) at float epsilon."""
+    from janus_tpu.ops.stft import hann_window
+
+    rng = np.random.default_rng(5)
+    for n_fft, hop in ((1024, 256), (512, 128), (400, 160)):
+        x = rng.standard_normal((2, 6000)).astype(np.float32)
+        s = stft(jnp.asarray(x), n_fft=n_fft, hop=hop)
+        window = hann_window(n_fft)
+        frames = jnp.fft.irfft(s, n=n_fft, axis=-1) * window
+        n_frames = frames.shape[-2]
+        out_len = n_fft + hop * (n_frames - 1)
+        idx = (hop * np.arange(n_frames))[:, None] + np.arange(n_fft)[None, :]
+        flat = frames.reshape((-1, n_frames, n_fft))
+
+        def ola(fr):
+            return jnp.zeros((out_len,), fr.dtype).at[idx.reshape(-1)].add(
+                fr.reshape(-1))
+
+        ref = jax.vmap(ola)(flat)
+        wsq = jnp.zeros((out_len,), jnp.float32).at[idx.reshape(-1)].add(
+            jnp.tile(window**2, (n_frames,)))
+        ref = (ref / jnp.maximum(wsq, 1e-8))[..., n_fft // 2 : out_len - n_fft // 2]
+        got = istft(s, n_fft=n_fft, hop=hop)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-5)
+
+
 def test_resample_poly_upsample():
     sr = 16000
     t = np.arange(sr) / sr
