@@ -84,6 +84,10 @@ def resample_poly(
     up-factors the per-phase shifted-FMA path; the general rational case
     falls back to the input-dilated conv.
     """
+    g = int(np.gcd(up, down))  # unreduced ratios (e.g. 16000/44100 from a
+    up, down = up // g, down // g  # clone upload) would build 32·up+1 taps
+    if up == 1 and down == 1:
+        return x
     if up == 1:
         return _decimate_fir(x, down, num_taps_per_phase * down)
     if down == 1:
