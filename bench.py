@@ -834,11 +834,40 @@ def main() -> None:
             voc = jax.jit(lambda vp, m: voc_mod.vocoder_waveform(vp, vcfg, m))
             t_voc = timed(lambda: voc(voc_params, mel),
                           lambda o: float(jnp.asarray(o)[0, 0]))
+
+            # device-true vocoder time (chained row carries the ~6 ms
+            # dispatch floor — see flagship_stage_device_ms)
+            def voc_looped(vp, m, n):
+                def body(i, carry):
+                    eps, acc = carry
+                    out = voc_mod.vocoder_waveform(vp, vcfg, m + eps)
+                    s = jnp.sum(out[..., :1].astype(jnp.float32))
+                    return (s * 0.0, acc + s)
+                return jax.lax.fori_loop(
+                    0, n, body, (jnp.float32(0.0), jnp.float32(0.0)))[1]
+
+            n_loop = 8
+            vN = jax.jit(lambda vp, m: voc_looped(vp, m, n_loop))
+            v1 = jax.jit(lambda vp, m: voc_looped(vp, m, 1))
+            _retry(lambda: (float(vN(voc_params, mel)),
+                            float(v1(voc_params, mel))), label="voc dev warm")
+
+            def _once(f):
+                t0 = time.perf_counter()
+                f()
+                return time.perf_counter() - t0
+
+            tn = min(_once(lambda: float(vN(voc_params, mel)))
+                     for _ in range(3))
+            t1 = min(_once(lambda: float(v1(voc_params, mel)))
+                     for _ in range(3))
+            t_voc_dev = max(0.0, (tn - t1) / (n_loop - 1))
             result["flagship_tts_stage_ms"] = {
                 "prefill": round(t_pre * 1e3, 1),
                 "ar_decode": round((t_gen - t_pre) * 1e3, 1),
                 "ar_step_us": round((t_gen - t_pre) / (max_groups - 1) * 1e6, 1),
                 "vocoder": round(t_voc * 1e3, 1),
+                "vocoder_device": round(t_voc_dev * 1e3, 2),
             }
             log(f"flagship tts stages: {result['flagship_tts_stage_ms']}")
 
