@@ -236,14 +236,55 @@ def _forward_embedded(params: Params, cfg: TTSConfig, x: jax.Array,
         stacked = (params["blocks"] if isinstance(params["blocks"], dict)
                    else _stack_blocks(params["blocks"]))
 
-        def sbody(h, layer):
-            blk, cache = layer
-            h, cache = _block(blk, h, cfg.num_heads, cache)
-            return h, cache
+        # The stacked caches ride the scan CARRY and each layer writes
+        # ONLY its new positions into the big buffer (in-place carry
+        # update). Passing caches through xs→ys instead (the r5a layout)
+        # round-trips the full per-layer cache through scan staging every
+        # iteration — at flagship geometry that cache plumbing alone cost
+        # ~9 ms of the 13 ms AR step (BENCH_NOTES r5b ablation); the
+        # attention math itself runs at ~2 ms. Ops and order are
+        # identical, so generated mel is bit-equal to the old layout.
+        c = state.caches
+        t_new = x.shape[-2]
+        len_b = c.length[0]                      # [B]; lanes in lockstep
+        start = len_b.reshape(-1)[0]
+        new_len = len_b + t_new
 
-        x, caches = jax.lax.scan(sbody, x, (stacked, state.caches),
-                                 unroll=getattr(cfg, "scan_unroll", 1))
-        new_state = TTSState(caches)
+        def sbody(carry, layer):
+            h, k_all, v_all = carry
+            blk, idx = layer
+            hn = layer_norm(h, **blk["attn_ln"])
+            p = blk["attn"]
+            q = split_heads(linear(hn, p["q"]["w"], p["q"]["b"]),
+                            cfg.num_heads)
+            k = split_heads(linear(hn, p["k"]["w"], p["k"].get("b")),
+                            cfg.num_heads)
+            v = split_heads(linear(hn, p["v"]["w"], p["v"]["b"]),
+                            cfg.num_heads)
+            zero = jnp.int32(0)
+            at = (idx, zero, zero, start, zero)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], at)
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], at)
+            cache_l = KVCache(k=k_all[idx], v=v_all[idx], length=new_len)
+            mask = cache_l.valid_mask(t_new, causal=True)
+            h = h + linear(
+                merge_heads(attend(q, cache_l.k, cache_l.v, mask)),
+                p["out"]["w"], p["out"]["b"])
+            hn = layer_norm(h, **blk["mlp_ln"])
+            h = h + linear(
+                gelu(linear(hn, blk["mlp"]["fc1"]["w"],
+                            blk["mlp"]["fc1"]["b"])),
+                blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
+            return (h, k_all, v_all), None
+
+        (x, k_new, v_new), _ = jax.lax.scan(
+            sbody, (x, c.k, c.v),
+            (stacked, jnp.arange(cfg.layers, dtype=jnp.int32)),
+            unroll=getattr(cfg, "scan_unroll", 1))
+        new_state = TTSState(KVCache(
+            k=k_new, v=v_new, length=c.length + t_new))
     else:
         caches = []
         for blk, cache in zip(params["blocks"], state.caches):
@@ -335,7 +376,10 @@ def tts_generate(params: Params, cfg: TTSConfig, text_ids: jax.Array,
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
     cache_len = prompt.shape[1] + max_groups
     base = audio_pos_base(cfg)
-    state = _make_state(cfg, b, cache_len)
+    # generation caches live in the compute dtype (bf16 serving): the f32
+    # default is for the teacher-forced training forward only. At flagship
+    # scale the f32 cache doubled every per-step cache byte (r5b).
+    state = _make_state(cfg, b, cache_len, dtype=jnp.dtype(cfg.dtype))
     mel0, stop0, state = _forward_embedded(
         params, cfg, prompt, jnp.arange(prompt.shape[1])[None, :], state
     )
@@ -394,7 +438,8 @@ def tts_prefill(params: Params, cfg: TTSConfig, text_ids: jax.Array,
         params = _prestack(params)
     b = text_ids.shape[0]
     prompt = _prompt_embedding(params, cfg, text_ids, emotion, speaker, text_vocab)
-    state = _make_state(cfg, b, prompt.shape[1] + max_groups)
+    state = _make_state(cfg, b, prompt.shape[1] + max_groups,
+                        dtype=jnp.dtype(cfg.dtype))
     mel0, stop0, state = _forward_embedded(
         params, cfg, prompt, jnp.arange(prompt.shape[1])[None, :], state
     )

@@ -111,7 +111,10 @@ def test_tts_generate_static_shapes_and_determinism():
 
 def test_tts_teacher_forcing_matches_generation_first_step():
     """The first generated group must equal the teacher-forced prediction
-    at position 0 (same prompt, no mel context yet)."""
+    at position 0 (same prompt, no mel context yet). Generation stores its
+    KV caches in the compute dtype (bf16 — r5b: the f32 default doubled
+    every flagship cache byte) while the training forward keeps f32
+    scratch, so the comparison carries bf16-level drift."""
     cfg = small_cfg().tts
     params = tts_mod.init_tts(0, cfg, text_vocab=261)
     text = jnp.asarray([[65, 66, 67]], dtype=jnp.int32)
@@ -123,7 +126,7 @@ def test_tts_teacher_forcing_matches_generation_first_step():
                                       text_vocab=261)
     first_group = np.asarray(gen_mel)[0, : cfg.reduction, :].reshape(-1)
     np.testing.assert_allclose(
-        first_group, np.asarray(tf_mel)[0, 0], atol=2e-4
+        first_group, np.asarray(tf_mel)[0, 0], atol=4e-3
     )
 
 
