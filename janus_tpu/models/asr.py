@@ -352,36 +352,39 @@ def init_decode_state(params: Params, cfg: ASRConfig, enc: jax.Array,
     return DecodeState(self_caches=caches, cross_k=ck, cross_v=cv)
 
 
-def _decoder_layer(
-    blk: Params, cfg: ASRConfig, x: jax.Array, cache: KVCache,
-    cross_k: jax.Array, cross_v: jax.Array, t_new: int,
-) -> Tuple[jax.Array, KVCache]:
-    """One decoder block: cached self-attn → cross-attn → MLP."""
-    from janus_tpu.ops.cross_attn import cross_attention_kv
-
-    # self-attention with cache append (fused qkv when prepared —
-    # see prepare_decode_params)
+def _self_qkv(blk: Params, cfg: ASRConfig, x: jax.Array):
+    """Pre-norm + self-attention projections (fused qkv when prepared —
+    see prepare_decode_params); heads split."""
     h = layer_norm(x, **blk["attn_ln"])
     p = blk["attn"]
     if "qkv" in p:
         q, k, v = jnp.split(linear(h, p["qkv"]["w"], p["qkv"]["b"]), 3, axis=-1)
-        q, k, v = (split_heads(t, cfg.num_heads) for t in (q, k, v))
-    else:
-        q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
-        k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
-        v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
-    cache = cache.append_lockstep(k, v)
-    mask = cache.valid_mask(t_new, causal=True)
+        return tuple(split_heads(t, cfg.num_heads) for t in (q, k, v))
+    q = split_heads(linear(h, p["q"]["w"], p["q"]["b"]), cfg.num_heads)
+    k = split_heads(linear(h, p["k"]["w"], p["k"].get("b")), cfg.num_heads)
+    v = split_heads(linear(h, p["v"]["w"], p["v"]["b"]), cfg.num_heads)
+    return q, k, v
+
+
+def _decoder_layer_attnpost(
+    blk: Params, cfg: ASRConfig, x: jax.Array, q: jax.Array,
+    k_full: jax.Array, v_full: jax.Array, mask: jax.Array,
+    cross_k: jax.Array, cross_v: jax.Array,
+) -> jax.Array:
+    """Everything after the self-KV write: self-attend → cross-attn → MLP.
+
+    Cross-attention runs over the (static) encoder sequence. int8 K/V run
+    the fused Pallas kernel on TPU (K/V stream from HBM as int8 and
+    dequantize in VMEM — the XLA dequant path materialized a dense bf16
+    copy per step and measured SLOWER than bf16, docs/ROOFLINE.md §1);
+    dense K/V take the plain XLA path."""
+    from janus_tpu.ops.cross_attn import cross_attention_kv
+
+    p = blk["attn"]
     x = x + linear(
-        merge_heads(attend(q, cache.k, cache.v, mask)),
+        merge_heads(attend(q, k_full, v_full, mask)),
         p["out"]["w"], p["out"]["b"],
     )
-
-    # cross-attention over the (static) encoder sequence. int8 K/V run
-    # the fused Pallas kernel on TPU (K/V stream from HBM as int8 and
-    # dequantize in VMEM — the XLA dequant path materialized a dense bf16
-    # copy per step and measured SLOWER than bf16, docs/ROOFLINE.md §1);
-    # dense K/V take the plain XLA path.
     h = layer_norm(x, **blk["cross_ln"])
     pc = blk["cross"]
     qc = split_heads(linear(h, pc["q"]["w"], pc["q"]["b"]), cfg.num_heads)
@@ -389,8 +392,19 @@ def _decoder_layer(
         merge_heads(cross_attention_kv(qc, cross_k, cross_v)),
         pc["out"]["w"], pc["out"]["b"],
     )
+    return x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
 
-    x = x + _mlp(blk["mlp"], layer_norm(x, **blk["mlp_ln"]))
+
+def _decoder_layer(
+    blk: Params, cfg: ASRConfig, x: jax.Array, cache: KVCache,
+    cross_k: jax.Array, cross_v: jax.Array, t_new: int,
+) -> Tuple[jax.Array, KVCache]:
+    """One decoder block: cached self-attn → cross-attn → MLP."""
+    q, k, v = _self_qkv(blk, cfg, x)
+    cache = cache.append_lockstep(k, v)
+    mask = cache.valid_mask(t_new, causal=True)
+    x = _decoder_layer_attnpost(blk, cfg, x, q, cache.k, cache.v, mask,
+                                cross_k, cross_v)
     return x, cache
 
 
@@ -415,15 +429,41 @@ def _decoder_forward(
         stacked = (dec["blocks"] if isinstance(dec["blocks"], dict)
                    else _stack_blocks(dec["blocks"]))
 
-        def body(h, layer):
-            blk, cache, ck, cv = layer
-            h, cache = _decoder_layer(blk, cfg, h, cache, ck, cv, t_new)
-            return h, cache
+        # Stacked self-caches ride the scan CARRY; each layer writes only
+        # its new positions into the big buffer. Passing the caches
+        # through xs→ys round-trips the full per-layer cache through scan
+        # staging every iteration (the r5b TTS finding — there it was
+        # ~9 ms of a 13 ms step). Cross K/V stay read-only xs. Ops and
+        # order are unchanged → identical tokens.
+        c = state.self_caches
+        len_b = c.length[0]                      # [B]; lanes in lockstep
+        start = len_b.reshape(-1)[0]
+        new_len = len_b + t_new
 
-        x, new_caches = jax.lax.scan(
-            body, x, (stacked, state.self_caches, state.cross_k, state.cross_v),
+        def body(carry, layer):
+            h, k_all, v_all = carry
+            blk, ck, cv, idx = layer
+            q, k, v = _self_qkv(blk, cfg, h)
+            zero = jnp.int32(0)
+            at = (idx, zero, zero, start, zero)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], at)
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], at)
+            cache_l = KVCache(k=k_all[idx], v=v_all[idx], length=new_len)
+            mask = cache_l.valid_mask(t_new, causal=True)
+            h = _decoder_layer_attnpost(blk, cfg, h, q, cache_l.k,
+                                        cache_l.v, mask, ck, cv)
+            return (h, k_all, v_all), None
+
+        n_layers = jax.tree.leaves(c)[0].shape[0]
+        (x, k_new, v_new), _ = jax.lax.scan(
+            body, (x, c.k, c.v),
+            (stacked, state.cross_k, state.cross_v,
+             jnp.arange(n_layers, dtype=jnp.int32)),
             unroll=getattr(cfg, "scan_unroll", 1),
         )
+        new_caches = KVCache(k=k_new, v=v_new, length=c.length + t_new)
     else:
         caches: List[KVCache] = []
         for i, blk in enumerate(dec["blocks"]):
